@@ -1,0 +1,253 @@
+"""Static-shape bipartite graph building between point clouds and a regular latent grid.
+
+TPU-native replacement for torch-cluster knn/radius + PyG coalesce
+(reference: src/model/layers/magno.py:116-295 `get_neighbor_strategy`).
+
+Key design: the latent tokens ARE a regular grid (reference builds them with
+meshgrid, src/trainer/stat.py:239-252), so the latent neighbors of a physical
+point within radius r — and its k nearest latent tokens — all live in a small
+*static* stencil window of grid cells around the point. Every neighbor strategy
+('knn' | 'radius' | 'bidirectional' | 'reverse') therefore reduces to ONE
+canonical static-shape structure:
+
+    EdgeSlots.lat_idx : [N, K] int32  — candidate latent token id per point slot
+    EdgeSlots.mask    : [N, K] bool   — edge exists under the chosen strategy
+
+where K is a compile-time constant derived from (radius, grid spacing, k).
+Encoder (phys->latent) consumes it scatter-wise (masked segment reduce onto the
+latent grid); decoder (latent->phys) consumes the same structure gather-wise
+(masked reduce over the K axis). 'bidirectional' union+dedup (reference
+magno.py:207-220 via `coalesce`) is a mask OR — slots are unique by construction,
+so dedup is free. 'reverse' (magno.py:263-273) is the encoder-bidirectional mask
+with the query side swapped.
+
+No dynamic shapes, no host round-trips: graph building is a pure jittable
+O(N*K) device op, so the reference's offline-precompute / async-CPU-worker
+variants (stat.py:126-224, collate_functions.py:73-131) become optional rather
+than load-bearing.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ENCODER_STRATEGIES = ("knn", "radius", "bidirectional")
+DECODER_STRATEGIES = ("knn", "radius", "bidirectional", "reverse")
+
+
+@dataclass(frozen=True)
+class LatentGrid:
+    """Regular D x H x W grid of latent tokens over an axis-aligned box.
+
+    Mirrors the trainer's meshgrid-over-domain construction
+    (reference: src/trainer/stat.py:239-252, src/model/gaot_3d.py:35-47).
+    `lo`/`hi` may differ per axis (the reference's scalar min-max rescale of an
+    anisotropic physical domain yields a uniform but non-cubical grid).
+    """
+
+    dims: Tuple[int, int, int]
+    lo: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    hi: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    @property
+    def num_tokens(self) -> int:
+        d, h, w = self.dims
+        return d * h * w
+
+    @property
+    def spacing(self) -> Tuple[float, float, float]:
+        return tuple(
+            (self.hi[a] - self.lo[a]) / max(self.dims[a] - 1, 1) for a in range(3)
+        )
+
+    def axis_coords(self, a: int) -> np.ndarray:
+        return np.linspace(self.lo[a], self.hi[a], self.dims[a], dtype=np.float64)
+
+    def positions(self, dtype=jnp.float32) -> jnp.ndarray:
+        """Token coordinates [M, 3] in ij meshgrid order (matches reference)."""
+        gx, gy, gz = np.meshgrid(
+            self.axis_coords(0), self.axis_coords(1), self.axis_coords(2), indexing="ij"
+        )
+        pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        return jnp.asarray(pts, dtype=dtype)
+
+    @staticmethod
+    def from_domain(dims: Sequence[int], domain_lo, domain_hi, rescale_to=None) -> "LatentGrid":
+        """Grid over a physical domain, optionally affinely rescaled the way the
+        reference trainer does (global *scalar* min-max to [-1,1];
+        stat.py:249-252 + src/utils/scale.py:13-25)."""
+        lo = tuple(float(v) for v in domain_lo)
+        hi = tuple(float(v) for v in domain_hi)
+        if rescale_to is not None:
+            gmin = min(lo)
+            gmax = max(hi)
+            a, b = rescale_to
+            scale = (b - a) / (gmax - gmin)
+            lo = tuple((v - gmin) * scale + a for v in lo)
+            hi = tuple((v - gmin) * scale + a for v in hi)
+        return LatentGrid(dims=tuple(int(d) for d in dims), lo=lo, hi=hi)
+
+
+class EdgeSlots(NamedTuple):
+    """Canonical static edge structure between N points and the latent grid."""
+
+    lat_idx: jnp.ndarray  # [..., N, K] int32, flattened latent token index
+    mask: jnp.ndarray  # [..., N, K] bool
+
+    @property
+    def num_slots(self) -> int:
+        return self.lat_idx.shape[-1]
+
+
+def stencil_widths(
+    grid: LatentGrid, radius: float, k_neighbors: int, strategy: str
+) -> Tuple[int, int, int]:
+    """Static per-axis stencil window widths covering the radius ball and/or the
+    k-nearest latent tokens. Compile-time constants."""
+    widths = []
+    need_radius = strategy in ("radius", "bidirectional", "reverse")
+    need_knn = strategy in ("knn", "bidirectional", "reverse")
+    # per-axis width for kNN: window must contain the k nearest grid points.
+    # k=1 needs the 2 bracketing coords per axis; larger k widens conservatively
+    # (verified against the brute-force oracle in tests/test_grid_graph.py).
+    wk = 2 if k_neighbors <= 1 else 2 * (1 + math.ceil((k_neighbors ** (1.0 / 3.0)) / 2.0))
+    for a in range(3):
+        h = grid.spacing[a]
+        wr = 2 * math.ceil(radius / h) + 2 if (need_radius and h > 0) else 2
+        w = max(wr if need_radius else 2, wk if need_knn else 2)
+        widths.append(min(w, grid.dims[a]))
+    return tuple(widths)
+
+
+def _candidate_window(points: jnp.ndarray, grid: LatentGrid, widths: Tuple[int, int, int]):
+    """Per-axis candidate grid indices [N, w_a] (clamped inside the grid) and
+    their coordinates."""
+    idx_axes = []
+    coord_axes = []
+    for a in range(3):
+        w = widths[a]
+        h = grid.spacing[a]
+        lo = grid.lo[a]
+        dim = grid.dims[a]
+        if h == 0.0:
+            f = jnp.zeros(points.shape[:-1], dtype=jnp.int32)
+        else:
+            f = jnp.floor((points[..., a] - lo) / h).astype(jnp.int32)
+        base = f - (w // 2 - 1)
+        base = jnp.clip(base, 0, max(dim - w, 0))
+        offs = jnp.arange(w, dtype=jnp.int32)
+        idx = base[..., None] + offs  # [N, w]
+        idx_axes.append(idx)
+        coord_axes.append(lo + idx.astype(points.dtype) * h)
+    return idx_axes, coord_axes
+
+
+def build_edge_slots(
+    points: jnp.ndarray,
+    grid: LatentGrid,
+    radius: float,
+    k_neighbors: int = 1,
+    strategy: str = "radius",
+    point_mask: Optional[jnp.ndarray] = None,
+) -> EdgeSlots:
+    """Build the canonical edge-slot structure for one point cloud.
+
+    Args:
+        points: [N, 3] point coordinates (same coordinate system as the grid).
+        grid: the latent token grid.
+        radius: neighbor radius (already scaled by the per-scale factor).
+        k_neighbors: k for the 'knn' component.
+        strategy: 'knn' | 'radius' | 'bidirectional' | 'reverse'
+            ('reverse' == bidirectional slot set; the caller swaps query side).
+        point_mask: [N] bool, False rows (padding) produce no edges.
+
+    Behavior parity notes (vs reference magno.py:165-295):
+      - encoder knn: each point -> k nearest latent tokens       == knn slots
+      - encoder radius: latent gathers points within r           == radius slots
+        (symmetric predicate, so identical edge set from the point side)
+      - decoder knn/radius: same edge sets with query side = points
+      - bidirectional: union, deduped (reference `coalesce`)      == mask OR
+    """
+    if strategy not in DECODER_STRATEGIES:
+        raise ValueError(f"unknown neighbor strategy: {strategy}")
+    eff = "bidirectional" if strategy == "reverse" else strategy
+
+    widths = stencil_widths(grid, radius, k_neighbors, eff)
+    idx_axes, coord_axes = _candidate_window(points, grid, widths)
+    w0, w1, w2 = widths
+    K = w0 * w1 * w2
+    N = points.shape[0]
+
+    i0 = idx_axes[0][:, :, None, None]
+    i1 = idx_axes[1][:, None, :, None]
+    i2 = idx_axes[2][:, None, None, :]
+    lat_idx = ((i0 * grid.dims[1] + i1) * grid.dims[2] + i2).reshape(N, K)
+
+    d0 = coord_axes[0][:, :, None, None] - points[:, 0, None, None, None]
+    d1 = coord_axes[1][:, None, :, None] - points[:, 1, None, None, None]
+    d2 = coord_axes[2][:, None, None, :] - points[:, 2, None, None, None]
+    dist2 = (d0 * d0 + d1 * d1 + d2 * d2).reshape(N, K)
+
+    mask = jnp.zeros((N, K), dtype=bool)
+    if eff in ("radius", "bidirectional"):
+        mask = mask | (dist2 <= jnp.asarray(radius, points.dtype) ** 2)
+    if eff in ("knn", "bidirectional"):
+        k = min(k_neighbors, K)
+        _, top_idx = jax.lax.top_k(-dist2, k)  # [N, k] smallest distances
+        knn_mask = jnp.zeros((N, K), dtype=bool)
+        knn_mask = knn_mask.at[jnp.arange(N)[:, None], top_idx].set(True)
+        mask = mask | knn_mask
+
+    if point_mask is not None:
+        mask = mask & point_mask[:, None]
+    return EdgeSlots(lat_idx=lat_idx.astype(jnp.int32), mask=mask)
+
+
+def build_edge_slots_batched(
+    points: jnp.ndarray,
+    grid: LatentGrid,
+    radius: float,
+    k_neighbors: int = 1,
+    strategy: str = "radius",
+    point_mask: Optional[jnp.ndarray] = None,
+) -> EdgeSlots:
+    """vmapped builder over a leading batch axis: points [B, N, 3]."""
+    fn = lambda p, m: build_edge_slots(p, grid, radius, k_neighbors, strategy, m)
+    if point_mask is None:
+        point_mask = jnp.ones(points.shape[:-1], dtype=bool)
+    return jax.vmap(fn)(points, point_mask)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracle (tests only): O(N*M) exact neighbor search, the same
+# dual-implementation correctness pattern the reference relies on
+# (src/model/layers/utils/magno_utils.py:123-159 native_neighbor_search).
+# ---------------------------------------------------------------------------
+def brute_force_edges(
+    points: np.ndarray,
+    latent_pos: np.ndarray,
+    radius: float,
+    k_neighbors: int = 1,
+    strategy: str = "radius",
+) -> set:
+    """Exact edge set {(point_i, latent_j)} for a strategy, via dense distances."""
+    pts = np.asarray(points, dtype=np.float64)
+    lat = np.asarray(latent_pos, dtype=np.float64)
+    d2 = ((pts[:, None, :] - lat[None, :, :]) ** 2).sum(-1)
+    edges = set()
+    eff = "bidirectional" if strategy == "reverse" else strategy
+    if eff in ("radius", "bidirectional"):
+        ii, jj = np.nonzero(d2 <= radius * radius)
+        edges |= set(zip(ii.tolist(), jj.tolist()))
+    if eff in ("knn", "bidirectional"):
+        k = min(k_neighbors, lat.shape[0])
+        nn = np.argsort(d2, axis=1)[:, :k]
+        for i in range(pts.shape[0]):
+            for j in nn[i]:
+                edges.add((i, int(j)))
+    return edges

@@ -1,0 +1,111 @@
+"""Masked segment reductions over static-shape edge slots.
+
+TPU-native replacement for torch_scatter.scatter / segment_csr
+(reference call sites: src/model/layers/integral_transform.py:165-171,
+src/model/layers/geoembed.py:133-148, src/model/layers/utils/scatter_native.py).
+
+All ops take flat per-edge data plus an integer segment id per edge and a boolean
+validity mask, with a *static* number of segments — invalid edges contribute the
+reduction identity. Built on jax.ops.segment_* which XLA lowers to efficient
+TPU sort/scan scatter code; the Pallas bucketed variants can override these for
+the hot path without changing callers.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked(data: jnp.ndarray, mask: Optional[jnp.ndarray], fill: float) -> jnp.ndarray:
+    if mask is None:
+        return data
+    m = mask
+    while m.ndim < data.ndim:
+        m = m[..., None]
+    return jnp.where(m, data, jnp.asarray(fill, data.dtype))
+
+
+def _seg_ids(segment_ids: jnp.ndarray, mask: Optional[jnp.ndarray], num_segments: int) -> jnp.ndarray:
+    """Route invalid edges to an out-of-range segment (dropped by segment ops)."""
+    if mask is None:
+        return segment_ids
+    return jnp.where(mask, segment_ids, num_segments)
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    ids = _seg_ids(segment_ids, mask, num_segments)
+    out = jax.ops.segment_sum(_masked(data, mask, 0.0), ids, num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+def segment_count(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    ones = jnp.ones(segment_ids.shape, dtype=dtype)
+    return segment_sum(ones, segment_ids, num_segments, mask=mask)
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Mean per segment; empty segments produce 0 (matches torch_scatter 'mean'
+    semantics used by the reference GNO reduction, integral_transform.py:163-171)."""
+    total = segment_sum(data, segment_ids, num_segments, mask=mask)
+    count = segment_count(segment_ids, num_segments, mask=mask, dtype=total.dtype)
+    count = jnp.maximum(count, 1.0)
+    shape = count.shape + (1,) * (total.ndim - count.ndim)
+    return total / count.reshape(shape)
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    empty_value: float = 0.0,
+) -> jnp.ndarray:
+    """Max per segment; empty segments produce `empty_value` (torch_scatter 'max'
+    fills empty segments with 0 in the reference's usage, geoembed.py:213)."""
+    neg_inf = jnp.asarray(-jnp.inf, data.dtype)
+    ids = _seg_ids(segment_ids, mask, num_segments)
+    filled = _masked(data, mask, -jnp.inf)
+    out = jax.ops.segment_max(filled, ids, num_segments=num_segments + 1)[:num_segments]
+    return jnp.where(out == neg_inf, jnp.asarray(empty_value, data.dtype), out)
+
+
+def segment_softmax(
+    scores: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Numerically-stable per-segment softmax over edges
+    (reference: integral_transform.py:68-78 `_segment_softmax_pyg`).
+
+    Returns a weight per edge; invalid edges get weight 0.
+    """
+    smax = segment_max(scores, segment_ids, num_segments, mask=mask, empty_value=0.0)
+    shifted = scores - smax[segment_ids]
+    exp = jnp.exp(shifted)
+    if mask is not None:
+        exp = jnp.where(mask, exp, 0.0)
+    denom = segment_sum(exp, segment_ids, num_segments, mask=mask)
+    tiny = jnp.finfo(scores.dtype).tiny
+    denom = jnp.maximum(denom, tiny)
+    w = exp / denom[segment_ids]
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    return w

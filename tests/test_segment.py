@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaot3d_tpu.ops import segment_sum, segment_mean, segment_max, segment_softmax, segment_count
+
+
+@pytest.fixture
+def edges():
+    rng = np.random.default_rng(0)
+    E, S, C = 257, 19, 4
+    data = rng.normal(size=(E, C)).astype(np.float32)
+    seg = rng.integers(0, S, size=E).astype(np.int32)
+    mask = rng.random(E) < 0.8
+    return data, seg, mask, S
+
+
+def _dense(data, seg, mask, S, reduce):
+    out = np.zeros((S, data.shape[1]), dtype=np.float64)
+    cnt = np.zeros(S)
+    mx = np.full((S, data.shape[1]), -np.inf)
+    for e in range(data.shape[0]):
+        if not mask[e]:
+            continue
+        out[seg[e]] += data[e]
+        cnt[seg[e]] += 1
+        mx[seg[e]] = np.maximum(mx[seg[e]], data[e])
+    if reduce == "sum":
+        return out
+    if reduce == "count":
+        return cnt
+    if reduce == "mean":
+        return out / np.maximum(cnt, 1)[:, None]
+    if reduce == "max":
+        return np.where(np.isinf(mx), 0.0, mx)
+    raise ValueError
+
+
+def test_segment_sum_mean_max_count(edges):
+    data, seg, mask, S = edges
+    d, s, m = jnp.asarray(data), jnp.asarray(seg), jnp.asarray(mask)
+    np.testing.assert_allclose(segment_sum(d, s, S, m), _dense(data, seg, mask, S, "sum"), rtol=1e-5)
+    np.testing.assert_allclose(segment_mean(d, s, S, m), _dense(data, seg, mask, S, "mean"), rtol=1e-5)
+    np.testing.assert_allclose(segment_max(d, s, S, m), _dense(data, seg, mask, S, "max"), rtol=1e-5)
+    np.testing.assert_allclose(segment_count(s, S, m), _dense(data, seg, mask, S, "count"), rtol=1e-6)
+
+
+def test_segment_ops_no_mask(edges):
+    data, seg, _, S = edges
+    full = np.ones(data.shape[0], dtype=bool)
+    d, s = jnp.asarray(data), jnp.asarray(seg)
+    np.testing.assert_allclose(segment_sum(d, s, S), _dense(data, seg, full, S, "sum"), rtol=1e-5)
+
+
+def test_segment_softmax_matches_dense(edges):
+    data, seg, mask, S = edges
+    scores = data[:, 0]
+    w = np.asarray(segment_softmax(jnp.asarray(scores), jnp.asarray(seg), S, jnp.asarray(mask)))
+    # weights sum to 1 per non-empty segment, 0 on invalid edges
+    assert np.all(w[~mask] == 0)
+    sums = np.zeros(S)
+    for e in range(len(scores)):
+        if mask[e]:
+            sums[seg[e]] += w[e]
+    nonempty = np.unique(seg[mask])
+    np.testing.assert_allclose(sums[nonempty], 1.0, rtol=1e-5)
+    # matches explicit softmax within one segment
+    s0 = nonempty[0]
+    sel = (seg == s0) & mask
+    expect = np.exp(scores[sel] - scores[sel].max())
+    expect /= expect.sum()
+    np.testing.assert_allclose(w[sel], expect, rtol=1e-5)
+
+
+def test_segment_ops_jit_grad():
+    S = 7
+    data = jnp.arange(12, dtype=jnp.float32).reshape(12, 1)
+    seg = jnp.asarray(np.arange(12) % S, dtype=jnp.int32)
+    mask = jnp.ones(12, dtype=bool)
+
+    def loss(x):
+        return segment_mean(x, seg, S, mask).sum()
+
+    g = jax.jit(jax.grad(loss))(data)
+    # gradient of mean: 1/count per contributing edge
+    counts = np.bincount(np.arange(12) % S, minlength=S)
+    expect = (1.0 / counts[np.arange(12) % S])[:, None]
+    np.testing.assert_allclose(g, expect, rtol=1e-6)
