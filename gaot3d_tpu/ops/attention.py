@@ -1,0 +1,147 @@
+"""Multi-head attention kernels.
+
+TPU-native replacement for cuDNN F.scaled_dot_product_attention
+(reference call site: src/model/layers/attn.py:126).
+
+Three implementations behind one interface:
+  - 'naive'  : materialized logits (oracle for tests; O(S^2) memory)
+  - 'flash'  : chunked online-softmax lax.scan — O(S * chunk) memory, supports
+               attention-probability dropout via counter-based PRNG folding, so
+               the 16K-token full-size latent sequence fits in HBM even with
+               the reference's train-time dropout (attn.py:122-126)
+  - 'pallas' : Pallas TPU flash kernel (jax.experimental.pallas tpu ops) for
+               the no-dropout inference/eval hot path
+The default picks 'naive' for short sequences and 'flash' otherwise.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _dropout(weights: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
+    keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
+    return jnp.where(keep, weights / (1.0 - rate), 0.0)
+
+
+def naive_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """q,k,v: [B, H, S, D] -> [B, H, S, D]. Matches torch SDPA semantics
+    (softmax(qk^T/sqrt(d)) with optional train-time probability dropout)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and rng is not None:
+        weights = _dropout(weights, dropout_rate, rng)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def flash_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    chunk_size: int = 1024,
+) -> jnp.ndarray:
+    """Chunked online-softmax attention: never materializes [S, S] logits.
+
+    Scans over KV chunks maintaining running (max, sum, acc) per query —
+    the flash-attention recurrence expressed in XLA. Dropout on attention
+    probabilities uses an rng folded per KV-chunk so the result is
+    sample-identical regardless of chunking of the key axis... (it is
+    *statistically* identical to naive dropout; exact bit-parity with the
+    naive path is not required, both are valid Bernoulli masks).
+    """
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+    nchunks = -(-Skv // chunk_size)
+    pad = nchunks * chunk_size - Skv
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kc = k.reshape(B, H, nchunks, chunk_size, D)
+    vc = v.reshape(B, H, nchunks, chunk_size, D)
+    kv_valid = (jnp.arange(nchunks * chunk_size) < Skv).reshape(nchunks, chunk_size)
+
+    qf = q.astype(jnp.float32)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        m, l, acc = carry
+        k_i, v_i, valid_i, idx = xs
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_i.astype(jnp.float32)) * scale
+        logits = jnp.where(valid_i[None, None, None, :], logits, -jnp.inf)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        # guard fully-masked rows
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(logits - m_safe[..., None])
+        p = jnp.where(valid_i[None, None, None, :], p, 0.0)
+        if dropout_rate > 0.0 and rng is not None:
+            r = jax.random.fold_in(rng, idx)
+            keep = jax.random.bernoulli(r, 1.0 - dropout_rate, p.shape)
+            p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        else:
+            p_drop = p
+        alpha = jnp.exp(jnp.where(jnp.isfinite(m), m, 0.0) - m_safe)
+        l_new = l * alpha + p.sum(axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_drop, v_i.astype(jnp.float32)
+        )
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((B, H, S), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((B, H, S), dtype=jnp.float32)
+    acc0 = jnp.zeros((B, H, S, D), dtype=jnp.float32)
+    xs = (
+        jnp.moveaxis(kc, 2, 0),
+        jnp.moveaxis(vc, 2, 0),
+        kv_valid,
+        jnp.arange(nchunks),
+    )
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(q.dtype)
+
+
+def pallas_flash_attention(q, k, v):
+    """Pallas TPU fused flash kernel (no dropout). Falls back to flash-XLA on
+    non-TPU backends."""
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=False)
+    except Exception:
+        return flash_attention_xla(q, k, v)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    impl: str = "auto",
+    chunk_size: int = 1024,
+) -> jnp.ndarray:
+    """Dispatcher. q,k,v: [B, H, S, D]."""
+    if impl == "auto":
+        impl = "naive" if q.shape[2] <= 2048 else "flash"
+    if impl == "naive":
+        return naive_attention(q, k, v, dropout_rate, rng)
+    if impl == "flash":
+        return flash_attention_xla(q, k, v, dropout_rate, rng, chunk_size)
+    if impl == "pallas":
+        if dropout_rate > 0.0 and rng is not None:
+            return flash_attention_xla(q, k, v, dropout_rate, rng, chunk_size)
+        return pallas_flash_attention(q, k, v)
+    raise ValueError(f"unknown attention impl: {impl}")

@@ -1,0 +1,597 @@
+"""Trainers.
+
+TrainerBase + StaticTrainer3D: the JAX/TPU counterpart of the reference
+trainer stack (src/trainer/base.py:17-419, src/trainer/stat.py:40-788):
+
+  - config merge, seeding (seed + process_index, base.py:46), loss = MSE
+  - dataset init: latent token grid from metadata domain bounds rescaled with
+    the reference's scalar min-max (stat.py:239-252), normalization stats
+    computed from the train split or loaded from cache (stat.py:56-124),
+    split loaders with per-process sharding (the DistributedSampler analogue)
+  - fit(): epoch loop with per-epoch shuffling, eval every `eval_every_eps`
+    epochs, best-state tracking by train or val metric with in-memory best
+    params restored at the end (optimizers.py:158-179,304-326), loss curves
+  - validate(): batch-mean losses summed, all-reduced across processes, and
+    divided by the dataset size (stat.py:552-573 — including its
+    sum-of-batch-means/num-samples quirk)
+  - NOTE the reference AdamW loop validates on the TEST loader
+    ("# TODO: change to val_loader", optimizers.py:288). We default to the val
+    loader and expose `validate_on_test` to reproduce the reference exactly.
+  - test(): timed inference loop with data-vs-inference split and a throughput
+    report (stat.py:575-708), de-normalization, metric suites, npz dump + 3D
+    render of the first sample
+  - train_step: 'full_grid' (masked MSE on all valid nodes) or 'neural_field'
+    (per-graph uniform node subsampling for encoder input and decoder queries,
+    same permutation when the sizes match — stat.py:438-514) — here the
+    sampling runs on device inside the jitted step.
+
+TPU-first: one jitted train step (pure function of (state, batch, rng));
+data-parallel and node-sharded execution come from gaot3d_tpu.parallel by
+donating the state and sharding the batch, not from a DDP wrapper.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import statistics
+import time
+from dataclasses import asdict
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..config import RunConfig
+from ..data.dataset import DatasetConfig, MeshDataset, compute_or_load_stats
+from ..data.pipeline import BatchLoader, PointBatch, SamplePreprocessor, prefetch_to_device
+from ..metadata import DATASET_METADATA
+from ..models import init_model
+from ..ops.grid_graph import LatentGrid
+from ..utils.rand import manual_seed
+from .checkpoint import load_checkpoint, load_params_only, save_checkpoint
+from .metrics import compute_drivaernet_metric, compute_general_metrics, compute_poseidon_metric
+from .schedule import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """MSE over valid nodes only — equals the reference's nn.MSELoss over the
+    concatenated (ragged) batch (base.py:56, stat.py:550)."""
+    diff = (pred - target) * mask[..., None]
+    denom = jnp.maximum(mask.sum() * pred.shape[-1], 1)
+    return (diff * diff).sum() / denom
+
+
+def sample_nodes_without_replacement(rng: jax.Array, mask: jnp.ndarray, k: int):
+    """Per-graph uniform sample of k valid node indices ([B, N] mask -> [B, k]
+    indices + validity). Device-side replacement for the host randperm loop in
+    the reference neural-field sampler (stat.py:460-483)."""
+    r = jax.random.uniform(rng, mask.shape)
+    r = jnp.where(mask, r, jnp.inf)
+    _, idx = jax.lax.top_k(-r, k)
+    valid = jnp.take_along_axis(mask, idx, axis=1)
+    return idx, valid
+
+
+def gather_nodes(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr [B, N, C], idx [B, k] -> [B, k, C]"""
+    return jnp.take_along_axis(arr, idx[..., None], axis=1)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+class TrainerBase:
+    """(reference: src/trainer/base.py — config plumbing, seeding, wandb/CSV
+    observability, fit/test orchestration)."""
+
+    def __init__(self, config: RunConfig):
+        self.config = config
+        self.setup_config = config.setup
+        self.model_config = config.model
+        self.dataset_config = config.dataset
+        self.optimizer_config = config.optimizer
+        self.path_config = config.path
+        self.datarow: Dict[str, Any] = {}
+
+        self.process_index = jax.process_index()
+        self.num_processes = jax.process_count()
+        self.is_main = self.process_index == 0
+        manual_seed(self.setup_config.seed + self.process_index)
+        self.rng = jax.random.key(self.setup_config.seed + self.process_index)
+        self.dtype = jnp.bfloat16 if self.setup_config.dtype == "bfloat16" else jnp.float32
+
+        self.metadata = DATASET_METADATA[self.dataset_config.metaname]
+        self._wandb = None
+        self._init_wandb()
+        self.init_dataset(self.dataset_config)
+        self.init_model(self.model_config)
+        self.init_optimizer(self.optimizer_config)
+        self.datarow["nparams"] = self.num_params
+        self.datarow["nbytes"] = self.num_bytes
+
+    # -- observability -----------------------------------------------------
+    def _init_wandb(self):
+        """wandb is optional (gated import, mirrors base.py:155-191)."""
+        if not self.setup_config.wandb or not self.is_main:
+            return
+        try:
+            import wandb
+
+            self._wandb = wandb
+            wandb.init(
+                project=self.setup_config.wandb_project,
+                entity=self.setup_config.wandb_entity,
+                name=self.setup_config.wandb_run_name,
+                group=self.setup_config.wandb_group,
+                mode=self.setup_config.wandb_mode,
+                notes=self.setup_config.wandb_notes,
+                tags=list(self.setup_config.wandb_tags),
+                config=asdict(self.config) if hasattr(self.config, "__dataclass_fields__") else None,
+            )
+        except Exception as e:  # pragma: no cover
+            logger.warning("wandb init failed (%s); continuing without wandb", e)
+            self._wandb = None
+
+    def log_metrics(self, metrics: Dict[str, float], step: int):
+        if self._wandb is not None:
+            try:
+                self._wandb.log(metrics, step=step)
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb log failed: %s", e)
+
+    # -- model/optimizer ----------------------------------------------------
+    def init_dataset(self, dataset_config: DatasetConfig):
+        raise NotImplementedError
+
+    def init_model(self, model_config):
+        raise NotImplementedError
+
+    def init_optimizer(self, optimizer_config):
+        steps_per_epoch = max(1, len(self.train_loader)) if getattr(self, "train_loader", None) else 1
+        self.tx = make_optimizer(optimizer_config.name, optimizer_config.args, steps_per_epoch)
+        self.state = TrainState.create(apply_fn=self.model.apply, params=self.params, tx=self.tx)
+        del self.params
+
+    # -- checkpointing -------------------------------------------------------
+    def save_ckpt(self, path: Optional[str] = None, extra: Optional[Dict] = None):
+        if not self.is_main:
+            return
+        path = path or self.path_config.ckpt_path
+        state = {"params": self.state.params, "opt_state": self.state.opt_state,
+                 "step": self.state.step}
+        if extra:
+            state.update(extra)
+        save_checkpoint(path, state)
+        logger.info("Saved checkpoint to %s", path)
+
+    def load_ckpt(self, path: Optional[str] = None, params_only: bool = True):
+        path = path or self.path_config.ckpt_path
+        if params_only:
+            params = load_params_only(path, self.state.params)
+            self.state = self.state.replace(params=params)
+        else:
+            template = {"params": self.state.params, "opt_state": self.state.opt_state,
+                        "step": self.state.step}
+            restored = load_checkpoint(path, template)
+            self.state = self.state.replace(
+                params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
+            )
+        logger.info("Loaded checkpoint from %s", path)
+
+    # -- orchestration --------------------------------------------------------
+    def fit(self):
+        result = self.optimize()
+        self.datarow["training time"] = result["time"]
+        if self.is_main:
+            self.plot_losses(result)
+            self.save_ckpt()
+            if self._wandb is not None:
+                try:
+                    self._wandb.summary.update({"best_epoch": result["best"]["epoch"],
+                                                "best_loss": result["best"]["loss"]})
+                except Exception:
+                    pass
+        if self.setup_config.test:
+            self.test()
+        return result
+
+    def plot_losses(self, result: Dict):
+        """Loss curves saved as PNG + NPZ (reference: base.py:360-407)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            path = self.path_config.loss_path
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.plot(result["train"]["epoch"], result["train"]["loss"], label="train")
+            ax.plot(result["valid"]["epoch"], result["valid"]["loss"], label="valid")
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("MSE loss")
+            ax.set_yscale("log")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(path, dpi=120)
+            plt.close(fig)
+            np.savez(
+                path.rsplit(".", 1)[0] + ".npz",
+                train_epoch=np.asarray(result["train"]["epoch"]),
+                train_loss=np.asarray(result["train"]["loss"]),
+                val_epoch=np.asarray(result["valid"]["epoch"]),
+                val_loss=np.asarray(result["valid"]["loss"]),
+            )
+        except Exception as e:  # pragma: no cover
+            logger.warning("loss plotting failed: %s", e)
+
+    @property
+    def num_params(self) -> int:
+        return int(sum(x.size for x in jax.tree.leaves(self.state.params)))
+
+    @property
+    def num_bytes(self) -> int:
+        return int(sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(self.state.params)))
+
+
+class StaticTrainer3D(TrainerBase):
+    """Static (time-independent) 3D PDE trainer (reference: stat.py:40-788)."""
+
+    def __init__(self, config: RunConfig):
+        if config.dataset.training_strategy == "neural_field":
+            # neural_field requires on-device edge building from sampled coords
+            # (reference constraint stat.py:48-54)
+            if config.dataset.update_pt_files_with_edges:
+                raise ValueError(
+                    "neural_field training strategy requires update_pt_files_with_edges=False"
+                )
+            config.model.args.magno.precompute_edges = False
+        super().__init__(config)
+
+    # -- data ---------------------------------------------------------------
+    def init_dataset(self, dataset_config: DatasetConfig):
+        logger.info("Initializing dataset ...")
+        if dataset_config.metaname.startswith("synthetic/") and not os.path.isdir(
+            os.path.join(dataset_config.base_path, dataset_config.processed_folder)
+        ):
+            from ..data.dataset import generate_synthetic_dataset
+
+            logger.info("Generating synthetic dataset at %s", dataset_config.base_path)
+            generate_synthetic_dataset(dataset_config, dataset_config.base_path)
+        dims = self.model_config.args.latent_tokens
+        lo, hi = self.metadata.domain_x
+        if dataset_config.use_rescale_new:
+            # rescale_new maps by the scalar domain min/max — same affine map
+            self.grid = LatentGrid.from_domain(dims, lo, hi, rescale_to=(-1, 1))
+        else:
+            self.grid = LatentGrid.from_domain(dims, lo, hi, rescale_to=(-1, 1))
+        self.latent_tokens_pos = self.grid.positions()
+
+        train_ds = MeshDataset(dataset_config, "train") if self.setup_config.train else None
+        stats_source = train_ds or MeshDataset(dataset_config, "train")
+        if dataset_config.use_metadata_stats:
+            self.stats = {
+                "mean": np.asarray(self.metadata.global_mean, np.float32),
+                "std": np.asarray(self.metadata.global_std, np.float32),
+            }
+        else:
+            self.stats = compute_or_load_stats(dataset_config, stats_source)
+        if dataset_config.active_variables is not None:
+            av = list(dataset_config.active_variables)
+            self.stats = dict(self.stats)
+            self.stats["mean"] = self.stats["mean"][av]
+            self.stats["std"] = self.stats["std"][av]
+
+        pre = SamplePreprocessor(
+            stats=self.stats,
+            metadata=self.metadata,
+            use_rescale_new=dataset_config.use_rescale_new,
+            encoder_feature_attr=self.model_config.args.magno.encoder_feature_attr,
+        )
+        self.preprocessor = pre
+
+        shard_kw = dict(num_shards=self.num_processes, shard_index=self.process_index)
+        common = dict(
+            preprocessor=pre,
+            batch_size=dataset_config.batch_size,
+            pad_multiple=dataset_config.pad_multiple,
+            num_workers=dataset_config.num_workers,
+        )
+        if self.setup_config.train:
+            self.train_loader = BatchLoader(
+                train_ds, shuffle=dataset_config.shuffle, drop_last=self.num_processes > 1,
+                seed=self.setup_config.seed, **shard_kw, **common,
+            )
+            self.val_loader = BatchLoader(
+                MeshDataset(dataset_config, "val"), shuffle=False, **shard_kw, **common
+            )
+        else:
+            self.train_loader = None
+            self.val_loader = None
+        # test runs unsharded; rank 0 aggregates (stat.py:408-418)
+        self.test_loader = BatchLoader(
+            MeshDataset(dataset_config, "test"), shuffle=False, **common
+        )
+        probe = self.test_loader.dataset[0]
+        sample = pre(probe)
+        self.num_input_channels = sample["enc_feats"].shape[-1]
+        self.num_output_channels = sample["x"].shape[-1]
+
+    # -- model ----------------------------------------------------------------
+    def init_model(self, model_config):
+        self.model = init_model(
+            input_size=self.num_input_channels,
+            output_size=self.num_output_channels,
+            model=model_config.name,
+            magno_config=model_config.args.magno,
+            attn_config=model_config.args.transformer,
+            latent_tokens=model_config.args.latent_tokens,
+            grid=self.grid,
+        )
+        # init with a tiny dummy batch (static shapes don't matter for params)
+        dummy_n = 32
+        pos = jnp.zeros((1, dummy_n, 3), jnp.float32)
+        feats = jnp.zeros((1, dummy_n, self.num_input_channels), jnp.float32)
+        mask = jnp.ones((1, dummy_n), bool)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.params = self.model.init({"params": init_rng}, pos, feats, mask)
+
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_eval_step = jax.jit(self._eval_step)
+
+    # -- steps ------------------------------------------------------------------
+    def _forward_loss(self, params, batch: PointBatch, rngs, train: bool):
+        strategy = self.dataset_config.training_strategy
+        if train and strategy == "neural_field":
+            k_in = int(self.dataset_config.neural_field_input_nodes)
+            k_q = int(self.dataset_config.neural_field_query_nodes_train)
+            k_in = min(k_in, batch.pos.shape[1])
+            k_q = min(k_q, batch.pos.shape[1])
+            rngs = dict(rngs)
+            sample_rng = rngs.pop("sample")
+            in_rng, q_rng = jax.random.split(sample_rng)
+            in_idx, in_valid = sample_nodes_without_replacement(in_rng, batch.node_mask, k_in)
+            if k_in == k_q:
+                q_idx, q_valid = in_idx, in_valid  # same perm (stat.py:478-480)
+            else:
+                q_idx, q_valid = sample_nodes_without_replacement(q_rng, batch.node_mask, k_q)
+            pred = self.model.apply(
+                params,
+                gather_nodes(batch.pos, in_idx),
+                gather_nodes(batch.feats, in_idx),
+                in_valid,
+                query_pos=gather_nodes(batch.pos, q_idx),
+                query_mask=q_valid,
+                train=train,
+                rngs=rngs,
+            )
+            target = gather_nodes(batch.target, q_idx)
+            return masked_mse(pred, target, q_valid)
+        pred = self.model.apply(
+            params, batch.pos, batch.feats, batch.node_mask, train=train, rngs=rngs
+        )
+        return masked_mse(pred, batch.target, batch.node_mask)
+
+    def _train_step(self, state: TrainState, batch: PointBatch, rng: jax.Array):
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "edges": jax.random.fold_in(rng, 1),
+                "sample": jax.random.fold_in(rng, 2)}
+        loss, grads = jax.value_and_grad(
+            lambda p: self._forward_loss(p, batch, rngs, train=True)
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, loss
+
+    def _eval_step(self, params, batch: PointBatch):
+        pred = self.model.apply(params, batch.pos, batch.feats, batch.node_mask, train=False)
+        return pred, masked_mse(pred, batch.target, batch.node_mask)
+
+    def train_step(self, batch: PointBatch) -> float:
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, loss = self._jit_train_step(self.state, batch, step_rng)
+        return loss
+
+    # -- loops -----------------------------------------------------------------
+    def optimize(self) -> Dict:
+        """Epoch loop with eval cadence + best-state tracking
+        (reference: optimizers.py:122-199 / 250-345)."""
+        args = self.optimizer_config.args
+        best_loss, best_epoch, best_params = np.inf, -1, None
+        losses, epochs, val_losses, val_epochs = [], [], [], []
+        time_total = 0.0
+        validate_on_test = getattr(args, "validate_on_test", False)
+
+        for epoch in range(args.epoch):
+            self.train_loader.set_epoch(epoch)
+            total_loss = 0.0
+            nb = 0
+            t0 = time.time()
+            for batch in prefetch_to_device(iter(self.train_loader)):
+                loss = self.train_step(batch)
+                total_loss += loss  # device scalar; block at epoch end only
+                nb += 1
+            total_loss = float(total_loss)
+            time_total += time.time() - t0
+
+            if (epoch + 1) % args.eval_every_eps == 0:
+                train_loss = total_loss / max(nb, 1)
+                losses.append(train_loss)
+                epochs.append(epoch)
+                loader = self.test_loader if validate_on_test else self.val_loader
+                val_loss = self.validate(loader)
+                val_losses.append(val_loss)
+                val_epochs.append(epoch)
+                logger.info("epoch %d: train %.6f  val %.6f", epoch, train_loss, val_loss)
+                self.log_metrics({"train/loss": train_loss, "val/loss": val_loss}, step=epoch + 1)
+
+                current = val_loss if args.early_save_metric == "val" else train_loss
+                if current < best_loss:
+                    best_loss, best_epoch = current, epoch
+                    best_params = jax.tree.map(lambda x: np.asarray(x), self.state.params)
+                if (
+                    args.save_every_epochs > 0
+                    and (epoch + 1) % args.save_every_epochs == 0
+                    and self.is_main
+                ):
+                    self.save_ckpt(extra={"epoch": epoch + 1})
+                    if self.setup_config.test_during_training:
+                        self.test()
+
+        if best_params is not None:
+            self.state = self.state.replace(params=jax.tree.map(jnp.asarray, best_params))
+        return {
+            "train": {"loss": losses, "epoch": epochs},
+            "valid": {"loss": val_losses, "epoch": val_epochs},
+            "best": {"epoch": best_epoch, "loss": float(best_loss)},
+            "time": time_total,
+        }
+
+    def validate(self, loader) -> float:
+        """Sum of batch-mean losses / dataset size, all-reduced over processes
+        (parity incl. quirk: stat.py:552-573)."""
+        total = 0.0
+        for batch in prefetch_to_device(iter(loader)):
+            _, loss = self._jit_eval_step(self.state.params, batch)
+            total += float(loss)
+        if self.num_processes > 1:
+            from jax.experimental import multihost_utils
+
+            total = float(multihost_utils.process_allgather(jnp.asarray(total)).sum())
+        return total / len(loader.dataset)
+
+    def test(self) -> Dict[str, float]:
+        """Timed inference + metric suites (reference: stat.py:575-788)."""
+        metric_suite = self.dataset_config.metric_suite
+        all_targets, all_preds = [], []
+        inference_times, data_times = [], []
+        total_samples = 0
+        plot_coords = plot_gtr = plot_prd = None
+        u_mean = self.stats["mean"]
+        u_std = self.stats["std"]
+
+        it = iter(self.test_loader)
+        while True:
+            t0 = time.time()
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            jax.block_until_ready(batch.pos)
+            data_times.append(time.time() - t0)
+
+            t1 = time.time()
+            pred, _ = self._jit_eval_step(self.state.params, batch)
+            jax.block_until_ready(pred)
+            inference_times.append(time.time() - t1)
+
+            counts = np.asarray(batch.num_nodes)
+            total_samples += int((counts > 0).sum())
+            pred_np = np.asarray(pred)
+            target_np = np.asarray(batch.target)
+            for b in range(pred_np.shape[0]):
+                n = int(counts[b])
+                if n == 0:
+                    continue
+                p_den = pred_np[b, :n] * u_std + u_mean
+                t_den = target_np[b, :n] * u_std + u_mean
+                all_preds.append(p_den)
+                all_targets.append(t_den)
+                if plot_coords is None and self.is_main:
+                    plot_coords = np.asarray(batch.pos[b, :n])
+                    plot_gtr = t_den
+                    plot_prd = p_den
+
+        results: Dict[str, float] = {}
+        if self.is_main and inference_times:
+            total_inf = sum(inference_times)
+            total_data = sum(data_times)
+            total_time = total_inf + total_data
+            report = {
+                "total_samples": total_samples,
+                "total_inference_time_s": total_inf,
+                "avg_inference_time_ms": 1000 * statistics.mean(inference_times),
+                "median_inference_time_ms": 1000 * statistics.median(inference_times),
+                "min_inference_time_ms": 1000 * min(inference_times),
+                "max_inference_time_ms": 1000 * max(inference_times),
+                "std_inference_time_ms": 1000
+                * (statistics.stdev(inference_times) if len(inference_times) > 1 else 0.0),
+                "avg_data_loading_time_ms": 1000 * statistics.mean(data_times),
+                "inference_throughput_samples_per_s": total_samples / total_inf,
+                "overall_throughput_samples_per_s": total_samples / total_time,
+                "data_loading_ratio_pct": 100 * total_data / total_time,
+                "inference_ratio_pct": 100 * total_inf / total_time,
+            }
+            for k, v in report.items():
+                logger.info("  %s: %.4f", k, v) if isinstance(v, float) else logger.info(
+                    "  %s: %s", k, v
+                )
+            results.update(report)
+            self.datarow["inference time"] = report["avg_inference_time_ms"] / 1000.0
+
+            if metric_suite == "drivaernet":
+                gm = self.metadata.global_mean
+                gs = self.metadata.global_std
+                if self.dataset_config.active_variables is not None:
+                    av = self.dataset_config.active_variables
+                    gm = [gm[i] for i in av]
+                    gs = [gs[i] for i in av]
+                agg = compute_drivaernet_metric(all_targets, all_preds, gm, gs)
+                logger.info("--- Final Metrics (Drivaernet Suite) ---")
+                logger.info("MSE (x10^-2): %.4f", agg["MSE"] * 100)
+                logger.info("MAE (x10^-1): %.4f", agg["MAE"] * 10)
+                logger.info("RMSE: %.4f  MaxErr: %.4f", agg["RMSE"], agg["Max_Error"])
+                logger.info("Rel L2 (%%): %.4f  Rel L1 (%%): %.4f", agg["Rel_L2"] * 100, agg["Rel_L1"] * 100)
+                results.update(agg)
+                self.datarow["MSE (x10^-2)"] = agg["MSE"] * 100
+                self.datarow["MAE (x10^-1)"] = agg["MAE"] * 10
+            elif metric_suite == "general":
+                full_p = np.concatenate(all_preds, axis=0)
+                full_t = np.concatenate(all_targets, axis=0)
+                m = compute_general_metrics(full_t, full_p)
+                logger.info("--- Final Metrics (General Suite) ---")
+                for k, v in m.items():
+                    logger.info("  %s: %.6f", k, v)
+                results.update(m)
+                self.datarow["MSE (x10^-2)"] = m["MSE"] * 100
+                self.datarow["MAE (x10^-1)"] = m["MAE"] * 10
+            elif metric_suite == "poseidon":
+                val = compute_poseidon_metric(
+                    all_targets, all_preds, self.metadata.global_mean, self.metadata.global_std
+                )
+                logger.info("--- Final Metric (Poseidon Suite): %.6f ---", val)
+                results["poseidon_rel_l1_median"] = val
+                self.datarow["relative error (direct)"] = val
+
+            # npz dump + 3D render of the first sample (stat.py:768-785)
+            try:
+                if plot_coords is not None:
+                    out_base = self.path_config.result_path.rsplit(".", 1)[0]
+                    os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
+                    np.savez(out_base + ".npz", coord=plot_coords, gtr=plot_gtr, prd=plot_prd)
+                    from .plotting import plot_3d_comparison
+
+                    plot_3d_comparison(
+                        plot_coords, plot_gtr[:, 0], plot_prd[:, 0],
+                        save_path=self.path_config.result_path,
+                        variable_name=self.metadata.names["u"][0] or "u",
+                    )
+            except Exception as e:  # pragma: no cover
+                logger.warning("3D plotting failed: %s", e)
+        return results
+
+
+TRAINERS = {"static3d": StaticTrainer3D}
+
+
+def init_trainer(config: RunConfig) -> TrainerBase:
+    name = config.setup.trainer_name
+    if name not in TRAINERS:
+        raise ValueError(f"unknown trainer '{name}', supported: {list(TRAINERS)}")
+    return TRAINERS[name](config)

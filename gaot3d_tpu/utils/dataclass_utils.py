@@ -34,6 +34,12 @@ def _is_optional_dataclass(tp) -> Any:
 
 def _coerce(value: Any, tp) -> Any:
     """Light type coercion for scalar config fields (e.g. "1e-4" -> float)."""
+    if value is None:
+        return None
+    if get_origin(tp) is Union:
+        args = [a for a in get_args(tp) if a is not type(None)]
+        if len(args) == 1:
+            tp = args[0]
     if tp is float and isinstance(value, (int, str)):
         return float(value)
     if tp is int and isinstance(value, (float, str)):
@@ -68,14 +74,20 @@ def merge_config(default: T, user: Any, path: str = "") -> T:
         raise TypeError(f"config override at '{path}' must be a mapping, got {type(user)}")
 
     fields = {f.name: f for f in dataclasses.fields(default)}
+    try:
+        import typing
+
+        hints = typing.get_type_hints(type(default))
+    except Exception:
+        hints = {}
     updates = {}
     for key, value in user.items():
         if key not in fields:
             raise KeyError(f"unknown config key '{path + key}'")
-        f = fields[key]
+        ftype = hints.get(key, fields[key].type)
         current = getattr(default, key)
         try:
-            nested_cls = _is_optional_dataclass(f.type)
+            nested_cls = _is_optional_dataclass(ftype)
         except TypeError:
             nested_cls = None
         if dataclasses.is_dataclass(current) and isinstance(value, dict):
@@ -83,7 +95,7 @@ def merge_config(default: T, user: Any, path: str = "") -> T:
         elif nested_cls is not None and isinstance(value, dict):
             updates[key] = dataclass_from_dict(nested_cls, value, path=f"{path}{key}.")
         else:
-            updates[key] = _coerce(value, f.type)
+            updates[key] = _coerce(value, ftype)
     return dataclasses.replace(default, **updates)
 
 

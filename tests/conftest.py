@@ -1,10 +1,18 @@
 """Test configuration: run on CPU with 8 virtual devices so pjit/shard_map
 multi-chip paths are exercised without TPU hardware (the JAX-native pattern;
-see SURVEY.md section 4 implication (c))."""
+see SURVEY.md section 4 implication (c)).
+
+NOTE: this environment pins JAX_PLATFORMS=axon (the real TPU tunnel), and the
+env var alone does not override it — jax.config.update does. Tests force CPU
+for determinism (f32 matmuls) and virtual multi-device meshes.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
