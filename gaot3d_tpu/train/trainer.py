@@ -343,8 +343,26 @@ class StaticTrainer3D(TrainerBase):
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = self.model.init({"params": init_rng}, pos, feats, mask)
 
-        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
-        self._jit_eval_step = jax.jit(self._eval_step)
+        if self.setup_config.distributed:
+            # SPMD replacement for the reference's DDP wrap (stat.py:431-436):
+            # batch sharded over the 'data' mesh axis (+ optionally the point
+            # axis over 'node'), params replicated, XLA inserts the gradient
+            # all-reduce over ICI.
+            from ..parallel import make_mesh, make_sharded_train_step
+
+            node = max(1, self.setup_config.node_shards)
+            data = self.setup_config.data_parallel
+            self.mesh = make_mesh(data=data, node=node)
+            self._shard_nodes = node > 1
+            self._jit_train_step = make_sharded_train_step(
+                self._train_step, self.mesh, shard_nodes=self._shard_nodes
+            )
+            self._jit_eval_step = jax.jit(self._eval_step)
+        else:
+            self.mesh = None
+            self._shard_nodes = False
+            self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+            self._jit_eval_step = jax.jit(self._eval_step)
 
     # -- steps ------------------------------------------------------------------
     def _forward_loss(self, params, batch: PointBatch, rngs, train: bool):
@@ -395,6 +413,10 @@ class StaticTrainer3D(TrainerBase):
 
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
+        if self.mesh is not None:
+            from ..parallel import shard_point_batch
+
+            batch = shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
         self.state, loss = self._jit_train_step(self.state, batch, step_rng)
         return loss
 

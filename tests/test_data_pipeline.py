@@ -1,0 +1,121 @@
+import os
+
+import numpy as np
+import pytest
+
+from gaot3d_tpu.data.dataset import (
+    DatasetConfig,
+    MeshDataset,
+    compute_or_load_stats,
+    generate_synthetic_dataset,
+    load_sample,
+    save_sample,
+)
+from gaot3d_tpu.data.pipeline import BatchLoader, SamplePreprocessor, round_up
+from gaot3d_tpu.data.transforms import rescale, rescale_new
+from gaot3d_tpu.metadata import DATASET_METADATA
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    cfg = DatasetConfig(
+        name="t", metaname="synthetic/unit_cube", base_path=root,
+        processed_folder="processed", train_size=6, val_size=2, test_size=2,
+        synthetic_num_samples=10, synthetic_num_nodes=100, batch_size=2,
+        pad_multiple=64,
+    )
+    generate_synthetic_dataset(cfg, root)
+    return root, cfg
+
+
+def test_rescale_quirks():
+    # the reference rescale is GLOBAL scalar min-max, not per-axis
+    x = np.array([[0.0, 10.0, 5.0], [2.0, 4.0, 6.0]])
+    out = rescale(x, (-1, 1))
+    np.testing.assert_allclose(out.min(), -1.0)
+    np.testing.assert_allclose(out.max(), 1.0)
+    np.testing.assert_allclose(out[0, 0], -1.0)  # global min -> -1
+    assert out[:, 0].max() < 0  # axis 0 does NOT span to +1 (quirk)
+    out2 = rescale_new(x, (-1, 1), ([0, 0, 0], [10, 10, 10]))
+    np.testing.assert_allclose(out2, x / 5.0 - 1.0)
+
+
+def test_split_semantics(synth_root):
+    root, cfg = synth_root
+    train = MeshDataset(cfg, "train")
+    val = MeshDataset(cfg, "val")
+    test = MeshDataset(cfg, "test")
+    assert len(train) == 6 and len(val) == 2 and len(test) == 2
+    # test = LAST test_size entries (reference pyg_datasets.py:116)
+    assert test.filenames == ["sample_00008", "sample_00009"]
+    assert train.filenames[0] == "sample_00000"
+    # overlap only possible via the reference's own -test_size: indexing
+    assert not set(train.filenames) & set(test.filenames)
+
+
+def test_stats_computed_and_cached(synth_root):
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    # manual check: mean/std over concatenated train nodes (unbiased std)
+    xs = np.concatenate([ds[i]["x"] for i in range(len(ds))], axis=0)
+    np.testing.assert_allclose(stats["mean"], xs.mean(0), rtol=1e-4)
+    np.testing.assert_allclose(stats["std"], xs.std(0, ddof=1), rtol=1e-4)
+    assert os.path.exists(os.path.join(root, "t_norm_stats.json"))
+    stats2 = compute_or_load_stats(cfg)  # cached path
+    np.testing.assert_allclose(stats2["mean"], stats["mean"], rtol=1e-6)
+
+
+def test_batch_loader_padding_and_masks(synth_root):
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+    loader = BatchLoader(ds, pre, batch_size=4, pad_multiple=64)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.pos.shape == (4, round_up(100, 64), 3)
+    assert b.node_mask.shape == (4, 128)
+    assert int(b.num_nodes[0]) == 100
+    assert bool(b.node_mask[0, :100].all()) and not bool(b.node_mask[0, 100:].any())
+    # last batch is padded to full batch size with empty graphs
+    b2 = batches[1]
+    assert b2.pos.shape[0] == 4
+    assert int(np.asarray(b2.num_nodes)[2]) == 0
+
+
+def test_batch_loader_sharding_and_epoch_shuffle(synth_root):
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+    l0 = BatchLoader(ds, pre, batch_size=1, shuffle=True, seed=3, num_shards=2, shard_index=0)
+    l1 = BatchLoader(ds, pre, batch_size=1, shuffle=True, seed=3, num_shards=2, shard_index=1)
+    i0 = l0._indices()
+    i1 = l1._indices()
+    assert len(set(i0) & set(i1)) == 0
+    assert len(i0) + len(i1) == 6
+    l0.set_epoch(1)
+    assert list(l0._indices()) != list(i0)
+
+
+def test_pt_sample_loading_roundtrip(tmp_path):
+    """Reference-format .pt samples load via torch CPU."""
+    torch = pytest.importorskip("torch")
+    pos = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    x = np.random.default_rng(1).normal(size=(50, 1)).astype(np.float32)
+    p = str(tmp_path / "s.pt")
+    torch.save({"pos": torch.tensor(pos), "x": torch.tensor(x)}, p)
+    sample = load_sample(p)
+    np.testing.assert_allclose(sample["pos"], pos)
+    np.testing.assert_allclose(sample["x"], x)
+
+
+def test_npz_save_atomic(tmp_path):
+    p = str(tmp_path / "s.npz")
+    save_sample(p, {"pos": np.zeros((3, 3), np.float32)})
+    assert os.path.exists(p) and not os.path.exists(p + ".tmp.npz")
+    out = load_sample(p)
+    assert out["pos"].shape == (3, 3)

@@ -1,0 +1,122 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh.
+
+The key correctness property: sharded execution (data-parallel, and the NEW
+node-sharding capability for 8-10M-node meshes) produces the same loss and the
+same updated parameters as single-device execution.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax.training import train_state
+
+from gaot3d_tpu.data.pipeline import PointBatch
+from gaot3d_tpu.models import (
+    AttentionConfig,
+    FFNConfig,
+    MAGNOConfig,
+    TransformerConfig,
+    init_model,
+)
+from gaot3d_tpu.parallel import make_mesh, make_sharded_train_step, shard_point_batch
+from gaot3d_tpu.train.trainer import masked_mse
+
+
+def _setup(n_nodes=64, batch=4):
+    magno = MAGNOConfig(
+        lifting_channels=8, gno_radius=0.4, neighbor_strategy="bidirectional",
+        use_geoembed=[True, False], in_gno_channel_mlp_hidden_layers=[16],
+        out_gno_channel_mlp_hidden_layers=[16], projection_channels=16,
+    )
+    attn = TransformerConfig(
+        patch_size=2, hidden_size=32, num_layers=2, positional_embedding="absolute",
+        attn_config=AttentionConfig(hidden_size=32, num_heads=4, num_kv_heads=4, atten_dropout=0.0),
+        ffn_config=FFNConfig(hidden_size=64),
+    )
+    model = init_model(1, 1, "gaot_3d", magno, attn, latent_tokens=(4, 4, 4))
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-1, 1, (batch, n_nodes, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(batch, n_nodes, 1)), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(batch, n_nodes, 1)), jnp.float32)
+    mask = jnp.ones((batch, n_nodes), bool)
+    batch_data = PointBatch(pos=pos, feats=feats, target=target, node_mask=mask,
+                            num_nodes=jnp.full((batch,), n_nodes, jnp.int32))
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+    tx = optax.adamw(1e-3)
+    state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    def train_step(state, b, rng):
+        def loss_fn(p):
+            pred = model.apply(p, b.pos, b.feats, b.node_mask)
+            return masked_mse(pred, b.target, b.node_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return model, state, batch_data, train_step
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_step_matches_single_device(mesh_shape):
+    data, node = mesh_shape
+    model, state, batch, train_step = _setup(batch=8)
+    rng = jax.random.key(1)
+    ref_state, ref_loss = jax.jit(train_step)(state, batch, rng)
+
+    mesh = make_mesh(data=data, node=node)
+    step = make_sharded_train_step(train_step, mesh, shard_nodes=node > 1, donate_state=False)
+    sb = shard_point_batch(batch, mesh, shard_nodes=node > 1)
+    with mesh:
+        out_state, loss = step(state, sb, rng)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_node_sharded_batch_placement():
+    mesh = make_mesh(data=2, node=4)
+    _, _, batch, _ = _setup()
+    sb = shard_point_batch(batch, mesh, shard_nodes=True)
+    # the point axis is split over the 'node' axis: each device holds N/4
+    shard_shapes = [s.data.shape for s in sb.pos.addressable_shards]
+    assert all(s == (batch.pos.shape[0] // 2, batch.pos.shape[1] // 4, 3) for s in shard_shapes)
+
+
+def test_trainer_distributed_flag(tmp_path):
+    """StaticTrainer3D with setup.distributed=True runs a training epoch on the
+    virtual device mesh."""
+    from gaot3d_tpu.config import RunConfig
+    from gaot3d_tpu.utils.dataclass_utils import merge_config
+    from gaot3d_tpu.train.trainer import init_trainer
+
+    cfg = merge_config(RunConfig(), {
+        "setup": {"train": True, "test": False, "distributed": True,
+                  "data_parallel": 4, "node_shards": 2},
+        "model": {"args": {"latent_tokens": [4, 4, 4], "magno": {
+            "lifting_channels": 8, "gno_radius": 0.4,
+            "neighbor_strategy": "bidirectional", "use_geoembed": False,
+            "in_gno_channel_mlp_hidden_layers": [16],
+            "out_gno_channel_mlp_hidden_layers": [16],
+            "projection_channels": 16},
+            "transformer": {"patch_size": 2, "hidden_size": 32, "num_layers": 2,
+                            "positional_embedding": "absolute",
+                            "attn_config": {"hidden_size": 32, "num_heads": 4,
+                                            "num_kv_heads": 4, "atten_dropout": 0.0},
+                            "ffn_config": {"hidden_size": 64}}}},
+        "dataset": {"name": "ptest", "metaname": "synthetic/unit_cube",
+                    "base_path": str(tmp_path), "processed_folder": "processed",
+                    "train_size": 4, "val_size": 2, "test_size": 2,
+                    "batch_size": 4, "num_workers": 0, "pad_multiple": 64,
+                    "synthetic_num_samples": 8, "synthetic_num_nodes": 96,
+                    "metric_suite": "general"},
+        "optimizer": {"args": {"epoch": 2, "eval_every_eps": 2, "scheduler": "none"}},
+        "path": {"ckpt_path": str(tmp_path / "c.msgpack"),
+                 "loss_path": str(tmp_path / "l.png"),
+                 "result_path": str(tmp_path / "r.png"),
+                 "database_path": str(tmp_path / "d.csv")},
+    })
+    trainer = init_trainer(cfg)
+    result = trainer.optimize()
+    assert np.isfinite(result["valid"]["loss"][-1])
