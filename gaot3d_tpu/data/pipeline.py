@@ -33,13 +33,20 @@ logger = logging.getLogger(__name__)
 
 
 class PointBatch(NamedTuple):
-    """Static-shape batch of point clouds (the PyG Batch replacement)."""
+    """Static-shape batch of point clouds (the PyG Batch replacement).
+
+    enc_slots / dec_slots optionally carry precomputed edge structures, one
+    (lat_idx [B,N,K], mask [B,N,K]) EdgeSlots per scale — the analogue of the
+    reference's `encoder_edge_index_s{i}` batch attributes (EnrichedData,
+    pyg_datasets.py:9-31) without ragged index offsets."""
 
     pos: jnp.ndarray  # [B, N, 3] rescaled coordinates
     feats: jnp.ndarray  # [B, N, C_in] encoder input features (normalized)
     target: jnp.ndarray  # [B, N, C_out] normalized targets
     node_mask: jnp.ndarray  # [B, N] valid-node mask
     num_nodes: jnp.ndarray  # [B] true node counts
+    enc_slots: Optional[tuple] = None  # tuple[EdgeSlots] per scale
+    dec_slots: Optional[tuple] = None
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
@@ -114,6 +121,9 @@ class BatchLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         num_workers: int = 0,
+        slot_mode: str = "device",  # 'device' | 'async' | 'precomputed'
+        slot_builder=None,  # callable(rescaled_pos)->dict for 'async'
+        num_scales: int = 1,
     ):
         self.dataset = dataset
         self.preprocessor = preprocessor
@@ -127,6 +137,9 @@ class BatchLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.num_workers = num_workers
+        self.slot_mode = slot_mode
+        self.slot_builder = slot_builder
+        self.num_scales = num_scales
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffle per epoch (parity: DistributedSampler.set_epoch,
@@ -164,16 +177,54 @@ class BatchLoader:
             target[i, :n] = s["x"][:n]
             mask[i, :n] = True
             counts[i] = n
+        enc_slots = dec_slots = None
+        if self.slot_mode != "device" and "slots" in samples[0]:
+            from ..ops.grid_graph import EdgeSlots
+
+            def pad_slots(direction):
+                per_scale = []
+                for sidx in range(self.num_scales):
+                    K = samples[0]["slots"][direction][sidx][0].shape[-1]
+                    idx = np.zeros((B, n_pad, K), np.int32)
+                    msk = np.zeros((B, n_pad, K), bool)
+                    for i, s in enumerate(samples):
+                        si, sm = s["slots"][direction][sidx]
+                        n = min(si.shape[0], n_pad)
+                        idx[i, :n] = si[:n]
+                        msk[i, :n] = sm[:n]
+                    per_scale.append(EdgeSlots(jnp.asarray(idx), jnp.asarray(msk)))
+                return tuple(per_scale)
+
+            enc_slots = pad_slots("encoder")
+            dec_slots = pad_slots("decoder")
         return PointBatch(
             pos=jnp.asarray(pos),
             feats=jnp.asarray(feats),
             target=jnp.asarray(target),
             node_mask=jnp.asarray(mask),
             num_nodes=jnp.asarray(counts),
+            enc_slots=enc_slots,
+            dec_slots=dec_slots,
         )
 
     def _load_one(self, i: int) -> Dict[str, np.ndarray]:
-        return self.preprocessor(self.dataset[int(i)])
+        raw = self.dataset[int(i)]
+        out = self.preprocessor(raw)
+        if self.slot_mode == "precomputed":
+            from .graph_precompute import extract_precomputed_slots
+
+            slots = extract_precomputed_slots(raw, self.num_scales)
+            if slots is None:
+                raise AttributeError(
+                    "sample is missing precomputed edge slots; run the "
+                    "update_pt_files_with_edges precompute sweep first"
+                )
+            out["slots"] = slots
+        elif self.slot_mode == "async":
+            # online graph building while batching (reference
+            # collate_functions.py:73-131, in a loader thread here)
+            out["slots"] = self.slot_builder(out["pos"])
+        return out
 
     def __iter__(self) -> Iterator[PointBatch]:
         idx = self._indices()

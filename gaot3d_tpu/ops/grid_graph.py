@@ -223,6 +223,54 @@ def build_edge_slots_batched(
     return jax.vmap(fn)(points, point_mask)
 
 
+def build_edge_slots_np(
+    points: np.ndarray,
+    grid: LatentGrid,
+    radius: float,
+    k_neighbors: int = 1,
+    strategy: str = "radius",
+):
+    """Pure-numpy twin of build_edge_slots for HOST-side graph building (the
+    asynchronous_graph_building loader path runs in CPU threads and must not
+    contend for the accelerator). Returns (lat_idx [N,K] int32, mask [N,K])."""
+    if strategy not in DECODER_STRATEGIES:
+        raise ValueError(f"unknown neighbor strategy: {strategy}")
+    eff = "bidirectional" if strategy == "reverse" else strategy
+    widths = stencil_widths(grid, radius, k_neighbors, eff)
+    points = np.asarray(points, np.float32)
+    N = points.shape[0]
+    idx_axes, coord_axes = [], []
+    for a in range(3):
+        w = widths[a]
+        h = grid.spacing[a]
+        lo = grid.lo[a]
+        dim = grid.dims[a]
+        f = np.zeros(N, np.int64) if h == 0 else np.floor((points[:, a] - lo) / h).astype(np.int64)
+        base = np.clip(f - (w // 2 - 1), 0, max(dim - w, 0))
+        idx = base[:, None] + np.arange(w)
+        idx_axes.append(idx)
+        coord_axes.append(lo + idx.astype(np.float32) * np.float32(h))
+    w0, w1, w2 = widths
+    K = w0 * w1 * w2
+    lat_idx = (
+        (idx_axes[0][:, :, None, None] * grid.dims[1] + idx_axes[1][:, None, :, None])
+        * grid.dims[2]
+        + idx_axes[2][:, None, None, :]
+    ).reshape(N, K)
+    d0 = coord_axes[0][:, :, None, None] - points[:, 0, None, None, None]
+    d1 = coord_axes[1][:, None, :, None] - points[:, 1, None, None, None]
+    d2 = coord_axes[2][:, None, None, :] - points[:, 2, None, None, None]
+    dist2 = (d0 * d0 + d1 * d1 + d2 * d2).reshape(N, K)
+    mask = np.zeros((N, K), bool)
+    if eff in ("radius", "bidirectional"):
+        mask |= dist2 <= np.float32(radius) ** 2
+    if eff in ("knn", "bidirectional"):
+        k = min(k_neighbors, K)
+        top = np.argpartition(dist2, k - 1, axis=1)[:, :k]
+        mask[np.arange(N)[:, None], top] = True
+    return lat_idx.astype(np.int32), mask
+
+
 # ---------------------------------------------------------------------------
 # Brute-force oracle (tests only): O(N*M) exact neighbor search, the same
 # dual-implementation correctness pattern the reference relies on

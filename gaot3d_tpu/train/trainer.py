@@ -297,12 +297,52 @@ class StaticTrainer3D(TrainerBase):
         )
         self.preprocessor = pre
 
+        # --- graph-building mode (reference stat.py:257-272, collate pipeline)
+        magno_cfg = self.model_config.args.magno
+        slot_mode = "device"
+        slot_builder = None
+        if dataset_config.update_pt_files_with_edges:
+            from ..data.graph_precompute import update_sample_files_with_edges
+
+            update_sample_files_with_edges(dataset_config, magno_cfg, self.grid, self.metadata)
+            if self.num_processes > 1:
+                # barrier analogue of stat.py:265-268
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("edge_precompute")
+            slot_mode = "precomputed"
+            magno_cfg.precompute_edges = True
+        elif magno_cfg.asynchronous_graph_building:
+            from ..models.magno import parse_neighbor_strategy
+            from ..ops.grid_graph import build_edge_slots_np
+
+            enc_s, dec_s = parse_neighbor_strategy(magno_cfg.neighbor_strategy)
+            grid = self.grid
+
+            def slot_builder(pos):
+                out = {"encoder": [], "decoder": []}
+                for scale in magno_cfg.scales:
+                    r = magno_cfg.gno_radius * scale
+                    out["encoder"].append(
+                        build_edge_slots_np(pos, grid, r, magno_cfg.k_neighbors, enc_s)
+                    )
+                    out["decoder"].append(
+                        build_edge_slots_np(pos, grid, r, magno_cfg.k_neighbors, dec_s)
+                    )
+                return out
+
+            slot_mode = "async"
+            magno_cfg.precompute_edges = True
+
         shard_kw = dict(num_shards=self.num_processes, shard_index=self.process_index)
         common = dict(
             preprocessor=pre,
             batch_size=dataset_config.batch_size,
             pad_multiple=dataset_config.pad_multiple,
             num_workers=dataset_config.num_workers,
+            slot_mode=slot_mode,
+            slot_builder=slot_builder,
+            num_scales=len(magno_cfg.scales),
         )
         if self.setup_config.train:
             self.train_loader = BatchLoader(
@@ -393,7 +433,9 @@ class StaticTrainer3D(TrainerBase):
             target = gather_nodes(batch.target, q_idx)
             return masked_mse(pred, target, q_valid)
         pred = self.model.apply(
-            params, batch.pos, batch.feats, batch.node_mask, train=train, rngs=rngs
+            params, batch.pos, batch.feats, batch.node_mask, train=train, rngs=rngs,
+            encoder_slots=list(batch.enc_slots) if batch.enc_slots is not None else None,
+            decoder_slots=list(batch.dec_slots) if batch.dec_slots is not None else None,
         )
         return masked_mse(pred, batch.target, batch.node_mask)
 
@@ -408,7 +450,11 @@ class StaticTrainer3D(TrainerBase):
         return state, loss
 
     def _eval_step(self, params, batch: PointBatch):
-        pred = self.model.apply(params, batch.pos, batch.feats, batch.node_mask, train=False)
+        pred = self.model.apply(
+            params, batch.pos, batch.feats, batch.node_mask, train=False,
+            encoder_slots=list(batch.enc_slots) if batch.enc_slots is not None else None,
+            decoder_slots=list(batch.dec_slots) if batch.dec_slots is not None else None,
+        )
         return pred, masked_mse(pred, batch.target, batch.node_mask)
 
     def train_step(self, batch: PointBatch) -> float:
