@@ -52,6 +52,12 @@ class SetUpConfig:
     resume_from_artifact: Optional[str] = None
     resume_from_ckpt: Optional[str] = None
     test_during_training: bool = False
+    # observability (improves on the reference's wall-clock-only timing,
+    # SURVEY.md section 5): write a jax.profiler trace of the first training
+    # steps of epoch `profile_epoch` into this directory
+    profile_dir: Optional[str] = None
+    profile_epoch: int = 1
+    profile_steps: int = 3
 
 
 @dataclass

@@ -60,7 +60,13 @@ class DatasetConfig:
 
 
 def load_sample(path: str) -> Dict[str, np.ndarray]:
-    """Load one mesh sample (.npz, or reference .pt via torch CPU)."""
+    """Load one mesh sample (.gsb native mmap, .npz, or reference .pt via
+    torch CPU)."""
+    if path.endswith(".gsb"):
+        from .native_io import GsbReader
+
+        with GsbReader(path) as r:
+            return r.read(copy=True)
     if path.endswith(".npz"):
         with np.load(path) as z:
             return {k: np.asarray(z[k]) for k in z.files}
@@ -117,11 +123,11 @@ class MeshDataset:
         return len(self.filenames)
 
     def _resolve(self, name: str) -> str:
-        for ext in (".npz", ".pt"):
+        for ext in (".gsb", ".npz", ".pt"):
             p = os.path.join(self.processed_dir, name + ext)
             if os.path.exists(p):
                 return p
-        raise FileNotFoundError(f"sample not found: {name}(.npz|.pt) in {self.processed_dir}")
+        raise FileNotFoundError(f"sample not found: {name}(.gsb|.npz|.pt) in {self.processed_dir}")
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         sample = load_sample(self._resolve(self.filenames[idx]))

@@ -13,12 +13,12 @@ Behavior parity with the reference GeometricEmbedding
 TPU-first design:
   - both directions run over the canonical [B, N, K] slot layout;
   - eigenvalues use the closed-form 3x3 kernel (ops.eigh3), not batched LAPACK;
-  - all statistical features are RAW-MOMENT accumulations (count, sum dist,
-    sum dist^2, sum x, sum x x^T): cov = E[xx^T] - c c^T, mathematically equal
-    to the reference's centered covariance sum / N. Raw moments are linear, so
-    the node axis chunks under lax.scan with O(chunk) transients (the same
-    memory-bounding strategy as the integral transform), and partial moments
-    psum cleanly when the node axis is sharded across chips;
+  - first-moment statistics (count, sum dist, sum dist^2, sum x) are linear
+    accumulations, so the node axis chunks under lax.scan with O(chunk)
+    transients; the covariance uses the reference's CENTERED formulation in a
+    second pass (raw moments E[xx]-cc^T cancel catastrophically in f32);
+  - encoder-side segment reductions go through the sort+cumsum folds
+    (ops.segment.make_segment_fold) — scatter-free on TPU;
   - explicit MLP params (pure functions) so chunk bodies can be
     jax.checkpoint-ed.
 """
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..ops.eigh3 import eigvalsh3x3_desc
 from ..ops.grid_graph import EdgeSlots
-from ..ops.segment import segment_max, segment_sum
+from ..ops.segment import fold_count, fold_max, fold_sum, make_segment_fold, segment_max, segment_sum
 from .integral_transform import reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
 
@@ -45,6 +45,7 @@ class GeometricEmbedding(nn.Module):
     pooling: str = "max"  # ['max', 'mean']
     edge_chunk_size: Optional[int] = None
     remat: bool = True
+    segment_impl: str = "sort"  # 'sort' (cumsum folds) | 'scatter'
 
     def setup(self):
         if self.method == "statistical":
@@ -91,6 +92,17 @@ class GeometricEmbedding(nn.Module):
             seg = lat_idx_c.reshape(B, n * K)
             msk = mask_c.reshape(B, n * K)
 
+            if self.segment_impl == "sort":
+                folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
+                # one fused fold over [dist, dist^2, x] shares the single sort
+                stacked = jnp.concatenate(
+                    [dist[..., None], (dist * dist)[..., None], src_e], axis=-1
+                ).reshape(B, n * K, -1)
+                sums = jax.vmap(fold_sum)(folds, stacked)
+                cnt = jax.vmap(lambda f: fold_count(f))(folds)
+                d_sum, d2_sum, x_sum = sums[..., 0], sums[..., 1], sums[..., 2:]
+                return cnt, d_sum, d2_sum, x_sum
+
             def red(x):
                 return jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(
                     x.reshape(B, n * K, -1), seg, msk
@@ -124,9 +136,13 @@ class GeometricEmbedding(nn.Module):
             cc = centered[..., :, None] * centered[..., None, :]
             seg = lat_idx_c.reshape(B, n * K)
             msk = mask_c.reshape(B, n * K)
-            cov_sum = jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(
-                cc.reshape(B, n * K, D * D), seg, msk
-            )
+            if self.segment_impl == "sort":
+                folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
+                cov_sum = jax.vmap(fold_sum)(folds, cc.reshape(B, n * K, D * D))
+            else:
+                cov_sum = jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(
+                    cc.reshape(B, n * K, D * D), seg, msk
+                )
             return cov_sum.reshape(B, M, D, D)
         m3 = mask_c[..., None]
         cnt = jnp.maximum(mask_c.sum(-1).astype(jnp.float32), 1.0)
@@ -177,6 +193,14 @@ class GeometricEmbedding(nn.Module):
             seg = lat_idx_c.reshape(B, n * K)
             msk = mask_c.reshape(B, n * K)
             data = h.reshape(B, n * K, 32)
+            if self.segment_impl == "sort":
+                folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
+                cnt = jax.vmap(lambda f: fold_count(f))(folds)
+                if pooling == "max":
+                    acc = jax.vmap(lambda f, d: fold_max(f, d, empty_value=-jnp.inf))(folds, data)
+                else:
+                    acc = jax.vmap(fold_sum)(folds, data)
+                return acc, cnt
             cnt = jax.vmap(lambda g, m: segment_sum(jnp.ones_like(g, jnp.float32), g, M, m))(seg, msk)
             if pooling == "max":
                 acc = jax.vmap(lambda d, g, m: segment_max(d, g, M, m, empty_value=-jnp.inf))(

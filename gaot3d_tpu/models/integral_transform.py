@@ -33,7 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid_graph import EdgeSlots
-from ..ops.segment import segment_max, segment_sum
+from ..ops.segment import (
+    fold_count,
+    fold_max,
+    fold_sum,
+    make_segment_fold,
+    segment_max,
+    segment_sum,
+)
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
 
 
@@ -63,6 +70,7 @@ class IntegralTransform(nn.Module):
     attention_type: str = "cosine"  # ['cosine', 'dot_product']
     edge_chunk_size: Optional[int] = None  # chunk the node axis (memory bound)
     remat: bool = True  # rematerialize per-chunk edge computations in backward
+    segment_impl: str = "sort"  # 'sort' (cumsum folds, TPU fast path) | 'scatter'
 
     def setup(self):
         sizes = list(self.channel_mlp_layers)
@@ -167,8 +175,13 @@ class IntegralTransform(nn.Module):
         seg = lat_idx_c.reshape(B, n * K)
         msk = mask_c.reshape(B, n * K)
         data = vals.reshape(B, n * K, -1)
-        psum = jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(data, seg, msk)
-        pcnt = jax.vmap(lambda g, m: segment_sum(jnp.ones_like(g, jnp.float32), g, M, m))(seg, msk)
+        if self.segment_impl == "sort":
+            folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
+            psum = jax.vmap(fold_sum)(folds, data)
+            pcnt = jax.vmap(lambda f: fold_count(f))(folds)
+        else:
+            psum = jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(data, seg, msk)
+            pcnt = jax.vmap(lambda g, m: segment_sum(jnp.ones_like(g, jnp.float32), g, M, m))(seg, msk)
         return psum, pcnt
 
     def _encoder_chunk_attn(self, latent_pos, M, src_feats_c, pos_c, lat_idx_c, mask_c):
@@ -186,7 +199,11 @@ class IntegralTransform(nn.Module):
         msk = mask_c.reshape(B, n * K)
         sc = scores.reshape(B, n * K)
         vals = vals.reshape(B, n * K, -1)
-        cmax = jax.vmap(lambda s, g, m: segment_max(s, g, M, m, empty_value=-jnp.inf))(sc, seg, msk)
+        if self.segment_impl == "sort":
+            folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
+            cmax = jax.vmap(lambda f, x: fold_max(f, x, empty_value=-jnp.inf))(folds, sc)
+        else:
+            cmax = jax.vmap(lambda s, g, m: segment_max(s, g, M, m, empty_value=-jnp.inf))(sc, seg, msk)
         return sc, seg, msk, vals, cmax
 
     # -- public forward --------------------------------------------------------
@@ -257,10 +274,18 @@ class IntegralTransform(nn.Module):
             p = jnp.exp(sc - jnp.take_along_axis(m_safe, seg, axis=1))
             p = jnp.where(msk, p, 0.0)
             alpha = jnp.exp(jnp.where(jnp.isfinite(m), m, m_safe) - m_safe)
-            l_new = l * alpha + jax.vmap(lambda pp, g, mm: segment_sum(pp, g, l.shape[1], mm))(p, seg, msk)
-            acc_new = acc * alpha[..., None] + jax.vmap(
-                lambda pv, g, mm: segment_sum(pv, g, acc.shape[1], mm)
-            )(p[..., None] * vals, seg, msk)
+            Mseg = l.shape[1]
+            if self.segment_impl == "sort":
+                folds = jax.vmap(lambda g, mm: make_segment_fold(g, Mseg, mm))(seg, msk)
+                p_sum = jax.vmap(lambda f, x: fold_sum(f, x))(folds, p)
+                pv_sum = jax.vmap(fold_sum)(folds, p[..., None] * vals)
+            else:
+                p_sum = jax.vmap(lambda pp, g, mm: segment_sum(pp, g, Mseg, mm))(p, seg, msk)
+                pv_sum = jax.vmap(lambda pv, g, mm: segment_sum(pv, g, Mseg, mm))(
+                    p[..., None] * vals, seg, msk
+                )
+            l_new = l * alpha + p_sum
+            acc_new = acc * alpha[..., None] + pv_sum
             return (m_new, l_new, acc_new)
 
         init = (

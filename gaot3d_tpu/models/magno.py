@@ -80,6 +80,9 @@ class MAGNOConfig:
     # this size inside GNO/geoembed (bounds transient HBM; pick a divisor of
     # the pipeline's pad_multiple). None = single chunk.
     remat: bool = True  # rematerialize per-chunk edge computations in backward
+    segment_impl: str = "sort"  # encoder segment reductions: 'sort' (edge sort
+    # + cumsum folds, the TPU fast path -- unsorted scatter-add serializes on
+    # TPU) | 'scatter' (jax.ops.segment_sum, the oracle path)
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:
@@ -218,6 +221,7 @@ class MAGNOEncoder(nn.Module):
                     attention_type=cfg.attention_type,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    segment_impl=cfg.segment_impl,
                 )(slots, point_pos, latent_pos, lifted, direction="encoder")
 
             geo = None
@@ -229,6 +233,7 @@ class MAGNOEncoder(nn.Module):
                     pooling=cfg.pooling,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    segment_impl=cfg.segment_impl,
                 )(slots, point_pos, latent_pos, direction="encoder")
 
             if encoded_gno is not None and geo is not None:
@@ -312,6 +317,7 @@ class MAGNODecoder(nn.Module):
                 attention_type=cfg.attention_type,
                 edge_chunk_size=cfg.edge_chunk_size,
                 remat=cfg.remat,
+                segment_impl=cfg.segment_impl,
             )(slots, query_pos, latent_pos, latent_feats, direction="decoder")
 
             if use_geo:
@@ -322,6 +328,7 @@ class MAGNODecoder(nn.Module):
                     pooling=cfg.pooling,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    segment_impl=cfg.segment_impl,
                 )(slots, query_pos, latent_pos, direction="decoder", query_mask=query_mask)
                 combined = jnp.concatenate([decoded, geo], axis=-1)
                 decoded = TorchLinear(C)(combined)  # recovery MLP

@@ -86,6 +86,89 @@ def segment_max(
     return jnp.where(out == neg_inf, jnp.asarray(empty_value, data.dtype), out)
 
 
+# ---------------------------------------------------------------------------
+# Sort-based segmented folds: the TPU fast path.
+#
+# XLA lowers unsorted scatter-add (what jax.ops.segment_sum becomes) to a
+# serialized update loop on TPU — measured at ~8.4s for the 500K-node encoder
+# forward. Sorting the edges by destination once per chunk turns every
+# segment reduction into sort + cumsum + boundary gather, all of which are
+# fast vectorized TPU ops:  sum_m = Z[start[m+1]] - Z[start[m]] where Z is the
+# exclusive prefix sum of destination-sorted edge values. Max uses a segmented
+# cummax (associative_scan with a segment-reset combiner).
+# ---------------------------------------------------------------------------
+from typing import NamedTuple
+
+
+class SegmentFoldCtx(NamedTuple):
+    perm: jnp.ndarray  # [E] destination-sorted edge order (invalid edges last)
+    sorted_seg: jnp.ndarray  # [E] segment id per sorted edge (S for invalid)
+    starts: jnp.ndarray  # [S+1] boundary index of each segment in sorted order
+    valid: jnp.ndarray  # [E] bool per sorted edge
+
+
+def make_segment_fold(
+    segment_ids: jnp.ndarray, num_segments: int, mask: Optional[jnp.ndarray] = None
+) -> SegmentFoldCtx:
+    """Sort edges by (validity-keyed) destination; O(E log E), once per chunk,
+    amortized over every reduction that shares the segment ids."""
+    E = segment_ids.shape[0]
+    key = segment_ids if mask is None else jnp.where(mask, segment_ids, num_segments)
+    perm = jnp.argsort(key)
+    sorted_seg = key[perm]
+    starts = jnp.searchsorted(sorted_seg, jnp.arange(num_segments + 1, dtype=sorted_seg.dtype))
+    return SegmentFoldCtx(
+        perm=perm.astype(jnp.int32),
+        sorted_seg=sorted_seg,
+        starts=starts.astype(jnp.int32),
+        valid=sorted_seg < num_segments,
+    )
+
+
+def fold_sum(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
+    """data: [E, C] (unsorted edge order) -> [S, C] segment sums."""
+    sd = data[ctx.perm]
+    sd = jnp.where(ctx.valid[:, None] if sd.ndim == 2 else ctx.valid, sd, 0)
+    z = jnp.cumsum(sd.astype(jnp.float32), axis=0)
+    zpad = jnp.concatenate([jnp.zeros_like(z[:1]), z], axis=0)
+    out = zpad[ctx.starts[1:]] - zpad[ctx.starts[:-1]]
+    return out.astype(data.dtype)
+
+
+def fold_count(ctx: SegmentFoldCtx, dtype=jnp.float32) -> jnp.ndarray:
+    return (ctx.starts[1:] - ctx.starts[:-1]).astype(dtype)
+
+
+def fold_mean(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
+    total = fold_sum(ctx, data)
+    cnt = jnp.maximum(fold_count(ctx, total.dtype), 1.0)
+    return total / cnt.reshape(cnt.shape + (1,) * (total.ndim - 1))
+
+
+def fold_max(ctx: SegmentFoldCtx, data: jnp.ndarray, empty_value: float = 0.0) -> jnp.ndarray:
+    """data: [E] or [E, C] -> [S(, C)] segment max via segmented cummax."""
+    sd = data[ctx.perm]
+    valid = ctx.valid if sd.ndim == 1 else ctx.valid[:, None]
+    sd = jnp.where(valid, sd, -jnp.inf)
+    extra = (1,) * (sd.ndim - 1)
+    seg = ctx.sorted_seg.reshape(ctx.sorted_seg.shape + extra)
+
+    def combine(a, b):
+        (ma, sa) = a
+        (mb, sb) = b
+        return (jnp.where(sa == sb, jnp.maximum(ma, mb), mb), jnp.broadcast_to(sb, sa.shape))
+
+    cmax, _ = jax.lax.associative_scan(
+        combine, (sd, jnp.broadcast_to(seg, sd.shape).astype(jnp.int32))
+    )
+    # segment max = running max at the last row of the segment
+    last = jnp.maximum(ctx.starts[1:] - 1, 0)
+    out = cmax[last]
+    nonempty = ctx.starts[1:] > ctx.starts[:-1]
+    nonempty = nonempty if out.ndim == 1 else nonempty[:, None]
+    return jnp.where(nonempty, out, jnp.asarray(empty_value, data.dtype))
+
+
 def segment_softmax(
     scores: jnp.ndarray,
     segment_ids: jnp.ndarray,

@@ -476,15 +476,27 @@ class StaticTrainer3D(TrainerBase):
         time_total = 0.0
         validate_on_test = getattr(args, "validate_on_test", False)
 
+        profile_dir = self.setup_config.profile_dir
         for epoch in range(args.epoch):
             self.train_loader.set_epoch(epoch)
+            profiling = bool(profile_dir) and epoch == self.setup_config.profile_epoch
             total_loss = 0.0
             nb = 0
             t0 = time.time()
             for batch in prefetch_to_device(iter(self.train_loader)):
+                if profiling and nb == 0:
+                    jax.profiler.start_trace(profile_dir)
                 loss = self.train_step(batch)
                 total_loss += loss  # device scalar; block at epoch end only
                 nb += 1
+                if profiling and nb == self.setup_config.profile_steps:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("Saved jax.profiler trace to %s", profile_dir)
+            if profiling:  # fewer batches than profile_steps
+                jax.block_until_ready(total_loss)
+                jax.profiler.stop_trace()
             total_loss = float(total_loss)
             time_total += time.time() - t0
 

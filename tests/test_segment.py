@@ -87,3 +87,36 @@ def test_segment_ops_jit_grad():
     counts = np.bincount(np.arange(12) % S, minlength=S)
     expect = (1.0 / counts[np.arange(12) % S])[:, None]
     np.testing.assert_allclose(g, expect, rtol=1e-6)
+
+
+def test_fold_ops_match_scatter(edges):
+    from gaot3d_tpu.ops.segment import fold_count, fold_max, fold_mean, fold_sum, make_segment_fold
+
+    data, seg, mask, S = edges
+    d, s, m = jnp.asarray(data), jnp.asarray(seg), jnp.asarray(mask)
+    fold = make_segment_fold(s, S, m)
+    np.testing.assert_allclose(fold_sum(fold, d), segment_sum(d, s, S, m), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fold_mean(fold, d), segment_mean(d, s, S, m), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fold_count(fold), segment_count(s, S, m), rtol=1e-6)
+    np.testing.assert_allclose(
+        fold_max(fold, d[:, 0]), segment_max(d[:, 0], s, S, m), rtol=1e-5
+    )
+    np.testing.assert_allclose(fold_max(fold, d), segment_max(d, s, S, m), rtol=1e-5)
+
+
+def test_fold_sum_grad(edges):
+    from gaot3d_tpu.ops.segment import fold_sum, make_segment_fold
+
+    data, seg, mask, S = edges
+    d, s, m = jnp.asarray(data), jnp.asarray(seg), jnp.asarray(mask)
+    fold = make_segment_fold(s, S, m)
+
+    def f_sort(x):
+        return (fold_sum(fold, x) ** 2).sum()
+
+    def f_scatter(x):
+        return (segment_sum(x, s, S, m) ** 2).sum()
+
+    g1 = jax.grad(f_sort)(d)
+    g2 = jax.grad(f_scatter)(d)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,66 @@
+"""End-to-end trainer smoke tests through the CLI entry (the reference's test
+strategy is end-to-end metric tracking; SURVEY.md section 4)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _run(config_rel, tmp_path, monkeypatch, overrides=None):
+    from gaot3d_tpu.config import load_run_config
+    from gaot3d_tpu.train.trainer import init_trainer
+    from gaot3d_tpu.utils.dataclass_utils import merge_config
+
+    cfg = load_run_config(os.path.join(REPO, config_rel))
+    base = str(tmp_path)
+    cfg = merge_config(cfg, {
+        "dataset": {"base_path": os.path.join(base, "data")},
+        "path": {"ckpt_path": f"{base}/c.msgpack", "loss_path": f"{base}/l.png",
+                 "result_path": f"{base}/r.png", "database_path": f"{base}/d.csv"},
+        **(overrides or {}),
+    })
+    trainer = init_trainer(cfg)
+    result = trainer.fit()
+    return trainer, result
+
+
+def test_full_grid_smoke(tmp_path, monkeypatch):
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={"optimizer": {"args": {"epoch": 2}}},
+    )
+    assert np.isfinite(result["best"]["loss"])
+    assert os.path.exists(f"{tmp_path}/c.msgpack")
+    assert os.path.exists(f"{tmp_path}/l.png")
+    assert os.path.exists(f"{tmp_path}/r.png")  # test() ran + plotted
+    # checkpoint reload roundtrip
+    trainer.load_ckpt()
+    metrics = trainer.test()
+    assert "MSE" in metrics
+
+
+def test_neural_field_smoke(tmp_path, monkeypatch):
+    trainer, result = _run(
+        "configs/examples/synthetic/neural_field.yaml", tmp_path, monkeypatch
+    )
+    assert np.isfinite(result["best"]["loss"])
+    # neural_field forces on-device edges (reference constraint stat.py:48-54)
+    assert trainer.model_config.args.magno.precompute_edges is False
+
+
+def test_neural_field_rejects_precompute(tmp_path):
+    from gaot3d_tpu.config import RunConfig
+    from gaot3d_tpu.train.trainer import StaticTrainer3D
+    from gaot3d_tpu.utils.dataclass_utils import merge_config
+
+    cfg = merge_config(RunConfig(), {
+        "dataset": {"training_strategy": "neural_field",
+                    "update_pt_files_with_edges": True,
+                    "base_path": str(tmp_path)},
+    })
+    with pytest.raises(ValueError, match="neural_field"):
+        StaticTrainer3D(cfg)
