@@ -15,6 +15,39 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def plot_3d_comparison_pyvista(
+    coords: np.ndarray,
+    u_gtr: np.ndarray,
+    u_prd: np.ndarray,
+    save_path: str,
+    variable_name: str = "u",
+    point_size: float = 3.0,
+) -> bool:
+    """3-panel off-screen PyVista render (reference: plot.py:9-117). Optional:
+    returns False (and logs) when pyvista is not installed."""
+    try:
+        import pyvista as pv
+    except ImportError:
+        logger.info("pyvista not installed; skipping pyvista render")
+        return False
+    coords = np.asarray(coords)
+    cloud = pv.PolyData(coords)
+    pl = pv.Plotter(off_screen=True, shape=(1, 3), window_size=(1800, 600))
+    for i, (title, vals) in enumerate(
+        [(f"GT {variable_name}", u_gtr), (f"Pred {variable_name}", u_prd),
+         ("abs error", np.abs(np.asarray(u_gtr) - np.asarray(u_prd)))]
+    ):
+        pl.subplot(0, i)
+        c = cloud.copy()
+        c["v"] = np.asarray(vals).reshape(-1)
+        pl.add_mesh(c, scalars="v", cmap="jet", point_size=point_size)
+        pl.add_title(title, font_size=10)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    pl.screenshot(save_path)
+    pl.close()
+    return True
+
+
 def plot_3d_comparison(
     coords: np.ndarray,
     u_gtr: np.ndarray,

@@ -38,6 +38,10 @@ class OptimizerargsConfig:
     scheduler_T_max: int = 100
     scheduler_eta_min: float = 1e-4
     save_every_epochs: int = 0
+    # reference-parity quirk knob: the reference AdamW loop validates on the
+    # TEST loader ("# TODO: change to val_loader", optimizers.py:288). We
+    # default to the val loader; set True to reproduce the reference exactly.
+    validate_on_test: bool = False
 
 
 def mix_phase_lengths(total_epochs: int, cosine_frac: float) -> tuple:

@@ -159,6 +159,70 @@ class TrainerBase:
         self.state = TrainState.create(apply_fn=self.model.apply, params=self.params, tx=self.tx)
         del self.params
 
+    # -- checkpoint artifacts --------------------------------------------------
+    def save_checkpoint_artifact(
+        self, epoch: int, train_loss: float, val_loss: float, is_best: bool = False
+    ):
+        """Versioned checkpoint artifacts with 'latest'/'best' aliases and
+        loss/epoch metadata (reference: base.py:206-252 W&B artifacts). Uses
+        W&B when enabled, otherwise a local artifact directory next to the
+        checkpoint path — same aliases, same metadata, no external service."""
+        if not self.is_main:
+            return
+        import json
+
+        base = self.path_config.ckpt_path
+        art_dir = os.path.join(os.path.dirname(base) or ".", "artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        name = os.path.splitext(os.path.basename(base))[0]
+        version_path = os.path.join(art_dir, f"{name}-e{epoch}.msgpack")
+        self.save_ckpt(version_path, extra={"epoch": jnp.asarray(epoch)})
+        meta_path = os.path.join(art_dir, f"{name}-aliases.json")
+        aliases = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                aliases = json.load(f)
+        record = {"path": version_path, "epoch": epoch,
+                  "train_loss": float(train_loss), "val_loss": float(val_loss)}
+        aliases["latest"] = record
+        if is_best:
+            aliases["best"] = record
+        with open(meta_path, "w") as f:
+            json.dump(aliases, f, indent=1)
+        if self._wandb is not None:
+            try:
+                art = self._wandb.Artifact(f"model-{name}", type="model",
+                                           metadata={k: v for k, v in record.items() if k != "path"})
+                art.add_file(version_path)
+                self._wandb.log_artifact(
+                    art, aliases=["latest", "best"] if is_best else ["latest"]
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb artifact save failed: %s", e)
+
+    def load_from_artifact(self, spec: str):
+        """Load 'name:alias' from W&B, or an alias ('best'/'latest') from the
+        local artifact directory (reference: base.py:254-261 + main.py:136-141
+        load priority)."""
+        alias = spec.split(":")[-1] if ":" in spec else spec
+        if self._wandb is not None and ":" in spec:
+            try:
+                art = self._wandb.use_artifact(spec)
+                path = art.download()
+                files = [f for f in os.listdir(path) if f.endswith(".msgpack")]
+                self.load_ckpt(os.path.join(path, files[0]))
+                return
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb artifact load failed (%s); trying local", e)
+        import json
+
+        base = self.path_config.ckpt_path
+        name = os.path.splitext(os.path.basename(base))[0]
+        meta_path = os.path.join(os.path.dirname(base) or ".", "artifacts", f"{name}-aliases.json")
+        with open(meta_path) as f:
+            aliases = json.load(f)
+        self.load_ckpt(aliases[alias]["path"])
+
     # -- checkpointing -------------------------------------------------------
     def save_ckpt(self, path: Optional[str] = None, extra: Optional[Dict] = None):
         if not self.is_main:
@@ -520,9 +584,14 @@ class StaticTrainer3D(TrainerBase):
                     and (epoch + 1) % args.save_every_epochs == 0
                     and self.is_main
                 ):
-                    self.save_ckpt(extra={"epoch": epoch + 1})
-                    if self.setup_config.test_during_training:
-                        self.test()
+                    try:  # failures must not kill training (optimizers.py:318-323)
+                        self.save_checkpoint_artifact(
+                            epoch + 1, train_loss, val_loss, is_best=(best_epoch == epoch)
+                        )
+                        if self.setup_config.test_during_training:
+                            self.test()
+                    except Exception as e:  # pragma: no cover
+                        logger.warning("periodic artifact save failed: %s", e)
 
         if best_params is not None:
             self.state = self.state.replace(params=jax.tree.map(jnp.asarray, best_params))

@@ -78,10 +78,13 @@ def run_config_file(path: str) -> dict:
     trainer.datarow["config"] = path
     trainer.datarow["time"] = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
 
-    if cfg.setup.ckpt and os.path.exists(cfg.path.ckpt_path):
-        trainer.load_ckpt()
+    # load priority: artifact > resume path > ckpt flag (reference main.py:134-145)
+    if cfg.setup.resume_from_artifact:
+        trainer.load_from_artifact(cfg.setup.resume_from_artifact)
     elif cfg.setup.resume_from_ckpt:
         trainer.load_ckpt(cfg.setup.resume_from_ckpt)
+    elif cfg.setup.ckpt and os.path.exists(cfg.path.ckpt_path):
+        trainer.load_ckpt()
 
     if cfg.setup.train:
         trainer.fit()

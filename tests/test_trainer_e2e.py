@@ -64,3 +64,27 @@ def test_neural_field_rejects_precompute(tmp_path):
     })
     with pytest.raises(ValueError, match="neural_field"):
         StaticTrainer3D(cfg)
+
+
+def test_checkpoint_artifacts_roundtrip(tmp_path, monkeypatch):
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={"optimizer": {"args": {"epoch": 2}},
+                   "setup": {"test": False}},
+    )
+    trainer.save_checkpoint_artifact(2, 0.5, 0.4, is_best=True)
+    import json, os
+    meta = os.path.join(tmp_path, "artifacts", "c-aliases.json")
+    with open(meta) as f:
+        aliases = json.load(f)
+    assert "best" in aliases and "latest" in aliases
+    assert aliases["best"]["epoch"] == 2
+    # perturb params, restore from artifact alias
+    import jax
+
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(lambda x: x * 0, trainer.state.params)
+    )
+    trainer.load_from_artifact("best")
+    leaves = jax.tree.leaves(trainer.state.params)
+    assert any(bool((l != 0).any()) for l in leaves)
