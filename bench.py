@@ -44,7 +44,7 @@ def main():
         out_gno_channel_mlp_hidden_layers=[64, 64],
         projection_channels=256,
         encoder_feature_attr="x",
-        edge_chunk_size=8192,
+        edge_chunk_size=16384,
     )
     attn = TransformerConfig(
         patch_size=2,

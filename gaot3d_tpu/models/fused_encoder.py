@@ -1,0 +1,199 @@
+"""Fused encoder scale: GNO kernel transform + statistical geometric embedding
+in ONE chunked scan with ONE segment reduction per pass.
+
+Motivation (measured on v5e): an unsorted segment reduction costs ~7ms per
+400K-edge chunk REGARDLESS of channel count (it is row-latency-bound), and the
+modular encoder (IntegralTransform + GeometricEmbedding as separate modules)
+issues ~7 of them per chunk. Fusing the GNO values and all first-moment
+geoembed statistics into one [E, C+6] payload cuts that to 2 reductions per
+chunk (pass 1: values+count+dist+dist^2+x; pass 2: centered covariance), and
+latent coordinates are computed analytically from the slot index (no per-edge
+HBM gather). Behavior is identical to the modular path (verified by test);
+this module is selected by MAGNOEncoder for the flagship configuration
+(use_gno + statistical geoembed + no per-edge attention), which covers the
+reference's DrivAerNet/DrivAerML recipes.
+
+Parity anchors: reference magno.py:539-581 (GNO+geoembed combination),
+integral_transform.py:145-171, geoembed.py:99-182.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.eigh3 import eigvalsh3x3_desc
+from ..ops.grid_graph import EdgeSlots, LatentGrid
+from ..ops.segment import fold_sum, make_segment_fold, segment_sum
+from .integral_transform import reshape_chunks
+from .mlp import torch_linear_bias_init, torch_linear_kernel_init
+
+
+class FusedEncoderScale(nn.Module):
+    """One encoder scale: points -> latent grid, GNO + statistical geoembed."""
+
+    lifting_channels: int
+    kernel_layers: Sequence[int]  # full sizes of the kernel MLP
+    transform_type: str  # ['linear','nonlinear','nonlinear_kernelonly']
+    grid: LatentGrid
+    coord_dim: int = 3
+    edge_chunk_size: Optional[int] = None
+    remat: bool = True
+    segment_impl: str = "scatter"  # fused: 'scatter' wins (1 reduction/chunk)
+    use_gno: bool = True
+
+    def setup(self):
+        if self.use_gno:
+            sizes = list(self.kernel_layers)
+            ws, bs = [], []
+            for i in range(len(sizes) - 1):
+                ws.append(self.param(f"kernel_w{i}", torch_linear_kernel_init,
+                                     (sizes[i], sizes[i + 1])))
+                bs.append(self.param(f"kernel_b{i}",
+                                     partial(torch_linear_bias_init, fan_in=sizes[i]),
+                                     (sizes[i + 1],)))
+            self.kernel_ws = ws
+            self.kernel_bs = bs
+        # geoembed feature MLP (identical structure to GeometricEmbedding's)
+        feat_dim = 3 + 2 * self.coord_dim
+        self.geo_w0 = self.param("geo_w0", torch_linear_kernel_init, (feat_dim, 64))
+        self.geo_b0 = self.param("geo_b0", partial(torch_linear_bias_init, fan_in=feat_dim), (64,))
+        self.geo_w1 = self.param("geo_w1", torch_linear_kernel_init, (64, self.lifting_channels))
+        self.geo_b1 = self.param("geo_b1", partial(torch_linear_bias_init, fan_in=64),
+                                 (self.lifting_channels,))
+
+    # -- pure chunk math --------------------------------------------------------
+    def _kernel_mlp(self, x):
+        n = len(self.kernel_ws)
+        for i, (w, b) in enumerate(zip(self.kernel_ws, self.kernel_bs)):
+            x = x @ w + b
+            if i < n - 1:
+                x = jax.nn.gelu(x, approximate=False)
+        return x
+
+    def _reduce(self, payload, seg, msk, M):
+        """[B, E, P] -> [B, M, P]; one reduction."""
+        if self.segment_impl == "sort":
+            folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
+            return jax.vmap(fold_sum)(folds, payload)
+        return jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(payload, seg, msk)
+
+    def _pass1_chunk(self, M, feats_c, pos_c, lat_idx_c, mask_c):
+        """ONE fused payload: [gno values (C) | 1 | dist | dist^2 | x (3)]."""
+        B, n, K = mask_c.shape
+        C = self.lifting_channels
+        lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
+        pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, self.coord_dim))
+        diff = pt_pos_e - lat_pos_e
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        parts = []
+        if self.use_gno:
+            agg = jnp.concatenate([pt_pos_e, lat_pos_e], axis=-1)
+            if self.transform_type in ("nonlinear", "nonlinear_kernelonly"):
+                fe = jnp.broadcast_to(feats_c[:, :, None, :], (B, n, K, C))
+                agg = jnp.concatenate([agg, fe], axis=-1)
+            vals = self._kernel_mlp(agg)
+            if self.transform_type != "nonlinear_kernelonly":
+                vals = vals * feats_c[:, :, None, :]
+            parts.append(vals)
+        parts.append(jnp.ones((B, n, K, 1), pos_c.dtype))
+        parts.append(dist[..., None])
+        parts.append((dist * dist)[..., None])
+        parts.append(pt_pos_e)  # source coords (points) for the centroid
+        payload = jnp.concatenate(parts, axis=-1)
+        seg = lat_idx_c.reshape(B, n * K)
+        msk = mask_c.reshape(B, n * K)
+        return self._reduce(payload.reshape(B, n * K, -1), seg, msk, M)
+
+    def _pass2_chunk(self, M, centroid, pos_c, lat_idx_c, mask_c):
+        """Centered covariance partial sums [B, M, 9]."""
+        B, n, K = mask_c.shape
+        D = self.coord_dim
+        pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, D))
+        cen_e = centroid[jnp.arange(B)[:, None, None], lat_idx_c]
+        centered = pt_pos_e - cen_e
+        cc = (centered[..., :, None] * centered[..., None, :]).reshape(B, n, K, D * D)
+        seg = lat_idx_c.reshape(B, n * K)
+        msk = mask_c.reshape(B, n * K)
+        return self._reduce(cc.reshape(B, n * K, -1), seg, msk, M)
+
+    def __call__(
+        self,
+        slots: EdgeSlots,
+        point_pos: jnp.ndarray,  # [B, N, 3]
+        lifted_feats: Optional[jnp.ndarray],  # [B, N, C] (already lifted)
+        latent_pos: jnp.ndarray,  # [M, 3] (for parity; coords are analytic)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (gno_out [B,M,C] or None, geo_out [B,M,C])."""
+        B, N, K = slots.mask.shape
+        M = latent_pos.shape[0]
+        C = self.lifting_channels
+        D = self.coord_dim
+        P = (C if self.use_gno else 0) + 3 + D
+        chunk = self.edge_chunk_size
+        if chunk is None or chunk >= N or N % chunk != 0:
+            chunk = N
+        maybe_ckpt = jax.checkpoint if (self.remat and chunk < N) else (lambda f: f)
+
+        body1 = maybe_ckpt(partial(self._pass1_chunk, M))
+        if chunk == N:
+            acc = body1(lifted_feats, point_pos, slots.lat_idx, slots.mask)
+        else:
+            pos_c, _ = reshape_chunks(point_pos, chunk)
+            idx_c, _ = reshape_chunks(slots.lat_idx, chunk)
+            msk_c, _ = reshape_chunks(slots.mask, chunk)
+            feat_c = reshape_chunks(lifted_feats, chunk)[0] if lifted_feats is not None else None
+
+            def scan1(carry, xs):
+                if lifted_feats is not None:
+                    f, p, i, m = xs
+                else:
+                    p, i, m = xs
+                    f = None
+                return carry + body1(f, p, i, m), None
+
+            xs = (feat_c, pos_c, idx_c, msk_c) if lifted_feats is not None else (pos_c, idx_c, msk_c)
+            acc, _ = jax.lax.scan(scan1, jnp.zeros((B, M, P)), xs)
+
+        off = C if self.use_gno else 0
+        cnt = acc[..., off]
+        d_sum = acc[..., off + 1]
+        d2_sum = acc[..., off + 2]
+        x_sum = acc[..., off + 3 : off + 3 + D]
+        n_safe = jnp.maximum(cnt, 1.0)
+        gno_out = acc[..., :C] / n_safe[..., None] if self.use_gno else None
+
+        centroid = x_sum / n_safe[..., None]
+        body2 = maybe_ckpt(partial(self._pass2_chunk, M, centroid))
+        if chunk == N:
+            cov_sum = body2(point_pos, slots.lat_idx, slots.mask)
+        else:
+            def scan2(carry, xs):
+                return carry + body2(*xs), None
+
+            cov_sum, _ = jax.lax.scan(scan2, jnp.zeros((B, M, D * D)), (pos_c, idx_c, msk_c))
+
+        # finalize statistical features (parity: geoembed.py:125-182)
+        d_avg = d_sum / n_safe
+        d_var = jnp.maximum(d2_sum / n_safe - d_avg * d_avg, 0.0)
+        qpos = jnp.broadcast_to(latent_pos[None], (B, M, D))
+        delta = centroid - qpos
+        cov = cov_sum.reshape(B, M, D, D) / n_safe[..., None, None]
+        cov_reg = cov + 1e-6 * jnp.eye(D, dtype=cov.dtype)
+        pca = eigvalsh3x3_desc(cov_reg)
+        pca = jnp.where(pca > 1e-3 * pca[..., :1], pca, 0.0)  # f32-noise guard
+        feats = jnp.concatenate(
+            [cnt[..., None], d_avg[..., None], d_var[..., None], delta, pca], axis=-1
+        )
+        has_nb = cnt > 0
+        feats = jnp.where(has_nb[..., None], feats, 0.0)
+        flat = feats.reshape(-1, feats.shape[-1])
+        mean = flat.mean(axis=0, keepdims=True)
+        std = flat.std(axis=0, keepdims=True, ddof=1)
+        std = jnp.where(std < 1e-6, 1.0, std)
+        normed = ((flat - mean) / std).reshape(feats.shape)
+        geo_out = jax.nn.relu(normed @ self.geo_w0 + self.geo_b0) @ self.geo_w1 + self.geo_b1
+        return gno_out, geo_out

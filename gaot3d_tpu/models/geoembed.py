@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.eigh3 import eigvalsh3x3_desc
-from ..ops.grid_graph import EdgeSlots
+from ..ops.grid_graph import EdgeSlots, LatentGrid
 from ..ops.segment import fold_count, fold_max, fold_sum, make_segment_fold, segment_max, segment_sum
 from .integral_transform import reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
@@ -46,6 +46,7 @@ class GeometricEmbedding(nn.Module):
     edge_chunk_size: Optional[int] = None
     remat: bool = True
     segment_impl: str = "sort"  # 'sort' (cumsum folds) | 'scatter'
+    grid: Optional[LatentGrid] = None  # analytic latent coords (no gather)
 
     def setup(self):
         if self.method == "statistical":
@@ -74,7 +75,10 @@ class GeometricEmbedding(nn.Module):
         """(source coords, query coords) per edge for a node chunk."""
         B, n, K = lat_idx_c.shape
         D = self.input_dim
-        lat_pos_e = latent_pos[lat_idx_c]
+        if self.grid is not None:
+            lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
+        else:
+            lat_pos_e = latent_pos[lat_idx_c]
         pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, D))
         if direction == "encoder":
             return pt_pos_e, lat_pos_e

@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_graph import EdgeSlots
+from ..ops.grid_graph import EdgeSlots, LatentGrid
 from ..ops.segment import (
     fold_count,
     fold_max,
@@ -71,6 +71,8 @@ class IntegralTransform(nn.Module):
     edge_chunk_size: Optional[int] = None  # chunk the node axis (memory bound)
     remat: bool = True  # rematerialize per-chunk edge computations in backward
     segment_impl: str = "sort"  # 'sort' (cumsum folds, TPU fast path) | 'scatter'
+    grid: Optional[LatentGrid] = None  # when set, latent token coordinates are
+    # computed arithmetically from the slot index (no per-edge HBM gather)
 
     def setup(self):
         sizes = list(self.channel_mlp_layers)
@@ -129,7 +131,10 @@ class IntegralTransform(nn.Module):
         """Per-edge (src_pos, dst_pos, src_feat) for one node chunk.
         pos_c: [B, n, 3]; lat_idx_c: [B, n, K]."""
         B, n, K = lat_idx_c.shape
-        lat_pos_e = latent_pos[lat_idx_c]
+        if self.grid is not None:
+            lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
+        else:
+            lat_pos_e = latent_pos[lat_idx_c]
         pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, pos_c.shape[-1]))
         if direction == "encoder":
             src_feat_e = (

@@ -80,9 +80,12 @@ class MAGNOConfig:
     # this size inside GNO/geoembed (bounds transient HBM; pick a divisor of
     # the pipeline's pad_multiple). None = single chunk.
     remat: bool = True  # rematerialize per-chunk edge computations in backward
-    segment_impl: str = "sort"  # encoder segment reductions: 'sort' (edge sort
-    # + cumsum folds, the TPU fast path -- unsorted scatter-add serializes on
-    # TPU) | 'scatter' (jax.ops.segment_sum, the oracle path)
+    segment_impl: str = "scatter"  # encoder segment reductions: 'scatter'
+    # (jax.ops.segment_sum; with the fused encoder the cost is ONE reduction
+    # per chunk and scatter wins) | 'sort' (edge sort + cumsum folds)
+    fused_encoder: bool = True  # fuse GNO + statistical geoembed into one
+    # chunked scan with one reduction per pass (fused_encoder.py); applies
+    # when geoembed is statistical and per-edge attention is off
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:
@@ -210,6 +213,37 @@ class MAGNOEncoder(nn.Module):
             )
             slots = apply_edge_sampling(slots, cfg, "encoder", train, rng, M)
 
+            # fused fast path: GNO + statistical geoembed share one chunked
+            # scan with one segment reduction per pass (see fused_encoder.py)
+            use_fused = (
+                cfg.fused_encoder
+                and use_geo
+                and cfg.embedding_method == "statistical"
+                and not cfg.use_attn
+            )
+            if use_fused:
+                from .fused_encoder import FusedEncoderScale
+
+                lifted = lifting(point_feats) if cfg.use_gno else None
+                encoded_gno, geo = FusedEncoderScale(
+                    lifting_channels=C,
+                    kernel_layers=tuple(gno_layers) if cfg.use_gno else (),
+                    transform_type=cfg.in_gno_transform_type,
+                    grid=self.grid,
+                    coord_dim=cfg.gno_coord_dim,
+                    edge_chunk_size=cfg.edge_chunk_size,
+                    remat=cfg.remat,
+                    segment_impl=cfg.segment_impl,
+                    use_gno=cfg.use_gno,
+                )(slots, point_pos, lifted, latent_pos)
+                if encoded_gno is not None:
+                    combined = jnp.concatenate([encoded_gno, geo], axis=-1)
+                    encoded = TorchLinear(C)(combined)  # recovery MLP
+                else:
+                    encoded = geo
+                encoded_scales.append(encoded)
+                continue
+
             encoded_gno = None
             if cfg.use_gno:
                 lifted = lifting(point_feats)  # [B, N, C]
@@ -222,6 +256,7 @@ class MAGNOEncoder(nn.Module):
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
                     segment_impl=cfg.segment_impl,
+                    grid=self.grid,
                 )(slots, point_pos, latent_pos, lifted, direction="encoder")
 
             geo = None
@@ -234,6 +269,7 @@ class MAGNOEncoder(nn.Module):
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
                     segment_impl=cfg.segment_impl,
+                    grid=self.grid,
                 )(slots, point_pos, latent_pos, direction="encoder")
 
             if encoded_gno is not None and geo is not None:
@@ -318,6 +354,7 @@ class MAGNODecoder(nn.Module):
                 edge_chunk_size=cfg.edge_chunk_size,
                 remat=cfg.remat,
                 segment_impl=cfg.segment_impl,
+                grid=self.grid,
             )(slots, query_pos, latent_pos, latent_feats, direction="decoder")
 
             if use_geo:
@@ -329,6 +366,7 @@ class MAGNODecoder(nn.Module):
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
                     segment_impl=cfg.segment_impl,
+                    grid=self.grid,
                 )(slots, query_pos, latent_pos, direction="decoder", query_mask=query_mask)
                 combined = jnp.concatenate([decoded, geo], axis=-1)
                 decoded = TorchLinear(C)(combined)  # recovery MLP

@@ -76,6 +76,25 @@ class LatentGrid:
         pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
         return jnp.asarray(pts, dtype=dtype)
 
+    def positions_from_idx(self, idx: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        """Token coordinates for flattened indices [...] -> [..., 3], computed
+        ARITHMETICALLY from the index (the grid is regular, so this replaces a
+        random-access HBM gather — measured ~19ms per 400K-row gather on v5e —
+        with pure VPU math)."""
+        _, H, W = self.dims
+        i2 = idx % W
+        i1 = (idx // W) % H
+        i0 = idx // (W * H)
+        h = self.spacing
+        return jnp.stack(
+            [
+                self.lo[0] + i0.astype(dtype) * h[0],
+                self.lo[1] + i1.astype(dtype) * h[1],
+                self.lo[2] + i2.astype(dtype) * h[2],
+            ],
+            axis=-1,
+        ).astype(dtype)
+
     @staticmethod
     def from_domain(dims: Sequence[int], domain_lo, domain_hi, rescale_to=None) -> "LatentGrid":
         """Grid over a physical domain, optionally affinely rescaled the way the
