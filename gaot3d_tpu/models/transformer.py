@@ -49,6 +49,9 @@ class AttentionConfig:
     D: Optional[int] = None
     attention_impl: str = "auto"  # ['auto', 'naive', 'flash', 'pallas']
     attention_chunk_size: int = 1024
+    attention_dtype: str = "bfloat16"  # q/k/v storage dtype inside attention
+    # ('bfloat16' hits the MXU single-pass; softmax/accum stay f32 — the
+    # reference intended reduced-precision attention too, attn.py:85)
 
 
 @dataclass
@@ -102,6 +105,7 @@ class GroupQueryAttention(nn.Module):
     positional_embedding: str = "absolute"
     attention_impl: str = "auto"
     attention_chunk_size: int = 1024
+    attention_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x, condition=None, relative_positions=None, train: bool = False):
@@ -144,6 +148,10 @@ class GroupQueryAttention(nn.Module):
             q = jnp.concatenate(parts_q, axis=-1)
             k = jnp.concatenate(parts_k, axis=-1)
 
+        if self.attention_dtype == "bfloat16":
+            q = q.astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
         dropout_rate = self.atten_dropout if train else 0.0
         rng = self.make_rng("dropout") if (dropout_rate > 0.0 and train) else None
         out = scaled_dot_product_attention(
@@ -153,7 +161,7 @@ class GroupQueryAttention(nn.Module):
             impl=self.attention_impl,
             chunk_size=self.attention_chunk_size,
         )
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, self.hidden_size)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, self.hidden_size).astype(x.dtype)
         return TorchLinear(self.output_size, use_bias=False)(out)
 
 
@@ -204,6 +212,7 @@ class TransformerBlock(nn.Module):
             positional_embedding=self.attn_config.positional_embedding,
             attention_impl=self.attn_config.attention_impl,
             attention_chunk_size=self.attn_config.attention_chunk_size,
+            attention_dtype=self.attn_config.attention_dtype,
         )(h, condition=condition, relative_positions=relative_positions, train=train)
         h = x + a
         # reference residual quirk: FFN residual taken from the NORMED h

@@ -73,13 +73,15 @@ def flash_attention_xla(
     vc = v.reshape(B, H, nchunks, chunk_size, D)
     kv_valid = (jnp.arange(nchunks * chunk_size) < Skv).reshape(nchunks, chunk_size)
 
-    qf = q.astype(jnp.float32)
-
     @jax.checkpoint
     def body(carry, xs):
         m, l, acc = carry
         k_i, v_i, valid_i, idx = xs
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_i.astype(jnp.float32)) * scale
+        # inputs stay in their storage dtype (bf16 hits the MXU single-pass);
+        # logits/softmax/accumulators are f32
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_i, preferred_element_type=jnp.float32
+        ) * scale
         logits = jnp.where(valid_i[None, None, None, :], logits, -jnp.inf)
         m_new = jnp.maximum(m, logits.max(axis=-1))
         # guard fully-masked rows
@@ -95,7 +97,10 @@ def flash_attention_xla(
         alpha = jnp.exp(jnp.where(jnp.isfinite(m), m, 0.0) - m_safe)
         l_new = l * alpha + p.sum(axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p_drop, v_i.astype(jnp.float32)
+            "bhqk,bhkd->bhqd",
+            p_drop.astype(v_i.dtype),
+            v_i,
+            preferred_element_type=jnp.float32,
         )
         return (m_new, l_new, acc_new), None
 
