@@ -143,9 +143,17 @@ class IntegralTransform(nn.Module):
                 else None
             )
             return pt_pos_e, lat_pos_e, src_feat_e
-        src_feat_e = (
-            src_feats[jnp.arange(B)[:, None, None], lat_idx_c] if src_feats is not None else None
-        )
+        if src_feats is not None:
+            from ..ops.segment import gather_table
+
+            # fold-backed gather: backward is sort+cumsum, not scatter-add
+            n, K = lat_idx_c.shape[1:3]
+            src_feat_e = jax.vmap(
+                lambda t, i, m: gather_table(t, i.reshape(-1), m.reshape(-1))
+            )(src_feats, lat_idx_c, jnp.ones(lat_idx_c.shape, bool))
+            src_feat_e = src_feat_e.reshape(B, n, K, src_feats.shape[-1])
+        else:
+            src_feat_e = None
         return lat_pos_e, pt_pos_e, src_feat_e
 
     # -- chunk bodies ---------------------------------------------------------

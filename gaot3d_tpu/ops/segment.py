@@ -105,6 +105,7 @@ class SegmentFoldCtx(NamedTuple):
     sorted_seg: jnp.ndarray  # [E] segment id per sorted edge (S for invalid)
     starts: jnp.ndarray  # [S+1] boundary index of each segment in sorted order
     valid: jnp.ndarray  # [E] bool per sorted edge
+    key: jnp.ndarray  # [E] keyed segment id in ORIGINAL edge order (S=invalid)
 
 
 def make_segment_fold(
@@ -122,17 +123,51 @@ def make_segment_fold(
         sorted_seg=sorted_seg,
         starts=starts.astype(jnp.int32),
         valid=sorted_seg < num_segments,
+        key=key,
     )
 
 
-def fold_sum(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
-    """data: [E, C] (unsorted edge order) -> [S, C] segment sums."""
-    sd = data[ctx.perm]
-    sd = jnp.where(ctx.valid[:, None] if sd.ndim == 2 else ctx.valid, sd, 0)
+import numpy as _np
+
+
+def _float0(x):
+    return _np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _fold_sum_p(data, perm, starts, valid, key):
+    sd = data[perm]
+    sd = jnp.where(valid[:, None] if sd.ndim == 2 else valid, sd, 0)
     z = jnp.cumsum(sd.astype(jnp.float32), axis=0)
     zpad = jnp.concatenate([jnp.zeros_like(z[:1]), z], axis=0)
-    out = zpad[ctx.starts[1:]] - zpad[ctx.starts[:-1]]
+    out = zpad[starts[1:]] - zpad[starts[:-1]]
     return out.astype(data.dtype)
+
+
+def _fold_sum_fwd(data, perm, starts, valid, key):
+    return _fold_sum_p(data, perm, starts, valid, key), (perm, starts, valid, key)
+
+
+def _fold_sum_bwd(res, ct):
+    # d out[m] / d data[e] = 1 iff key[e] == m: the backward of a segment sum
+    # is a pure GATHER ct[key] (never a scatter — scatter-add is the slow path
+    # on TPU that the fold exists to avoid).
+    perm, starts, valid, key = res
+    S = ct.shape[0]
+    safe = jnp.clip(key, 0, S - 1)
+    d = ct[safe]
+    kv = key < S
+    d = jnp.where(kv[:, None] if d.ndim == 2 else kv, d, 0)
+    return (d, _float0(perm), _float0(starts), _float0(valid), _float0(key))
+
+
+_fold_sum_p.defvjp(_fold_sum_fwd, _fold_sum_bwd)
+
+
+def fold_sum(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
+    """data: [E, C] (unsorted edge order) -> [S, C] segment sums.
+    Custom VJP: backward is one gather, not a scatter."""
+    return _fold_sum_p(data, ctx.perm, ctx.starts, ctx.valid, ctx.key)
 
 
 def fold_count(ctx: SegmentFoldCtx, dtype=jnp.float32) -> jnp.ndarray:
@@ -167,6 +202,35 @@ def fold_max(ctx: SegmentFoldCtx, data: jnp.ndarray, empty_value: float = 0.0) -
     nonempty = ctx.starts[1:] > ctx.starts[:-1]
     nonempty = nonempty if out.ndim == 1 else nonempty[:, None]
     return jnp.where(nonempty, out, jnp.asarray(empty_value, data.dtype))
+
+
+@jax.custom_vjp
+def gather_table(table, idx, mask):
+    """Masked row gather table[idx] with a FOLD-based backward.
+
+    The AD backward of a gather is a scatter-add (duplicate indices), which is
+    the serialized slow path on TPU. Here the backward builds a segment fold
+    over the gather indices (sort + cumsum + boundary diff) instead — the
+    decoder's latent-feature gathers get a fast backward for free.
+    table: [S, C]; idx: [E]; mask: [E] -> [E, C] (masked rows are 0).
+    """
+    safe = jnp.clip(idx, 0, table.shape[0] - 1)
+    out = table[safe]
+    return jnp.where(mask[:, None], out, 0)
+
+
+def _gather_table_fwd(table, idx, mask):
+    return gather_table(table, idx, mask), (idx, mask, table.shape[0])
+
+
+def _gather_table_bwd(res, ct):
+    idx, mask, S = res
+    ctx = make_segment_fold(idx, S, mask)
+    d_table = fold_sum(ctx, ct)
+    return (d_table, _float0(idx), _float0(mask))
+
+
+gather_table.defvjp(_gather_table_fwd, _gather_table_bwd)
 
 
 def segment_softmax(
