@@ -45,7 +45,7 @@ def main():
         projection_channels=256,
         encoder_feature_attr="x",
         edge_chunk_size=16384,
-        segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "sort"),
+        segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
     )
     attn = TransformerConfig(
         patch_size=2,

@@ -136,9 +136,13 @@ def _float0(x):
 
 @jax.custom_vjp
 def _fold_sum_p(data, perm, starts, valid, key):
+    from .pallas_kernels import cumsum_fast
+
     sd = data[perm]
     sd = jnp.where(valid[:, None] if sd.ndim == 2 else valid, sd, 0)
-    z = jnp.cumsum(sd.astype(jnp.float32), axis=0)
+    z = cumsum_fast(sd if sd.ndim == 2 else sd[:, None])
+    if sd.ndim == 1:
+        z = z[:, 0]
     zpad = jnp.concatenate([jnp.zeros_like(z[:1]), z], axis=0)
     out = zpad[starts[1:]] - zpad[starts[:-1]]
     return out.astype(data.dtype)

@@ -94,3 +94,13 @@ def test_dropout_edges_rate():
     n1 = int(np.asarray(dropped.mask).sum())
     assert 0.3 * n0 < n1 < 0.7 * n0
     assert np.all(~np.asarray(dropped.mask) | np.asarray(slots.mask))
+
+
+def test_pallas_prefix_sum_interpret():
+    from gaot3d_tpu.ops.pallas_kernels import prefix_sum
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(10_000, 38)), jnp.float32)
+    got = prefix_sum(x, block_rows=1024, interpret=True)
+    want = jnp.cumsum(x, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3)

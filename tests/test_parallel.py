@@ -43,7 +43,9 @@ def _setup(n_nodes=64, batch=4):
     batch_data = PointBatch(pos=pos, feats=feats, target=target, node_mask=mask,
                             num_nodes=jnp.full((batch,), n_nodes, jnp.int32))
     params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
-    tx = optax.adamw(1e-3)
+    # SGD so the post-step param delta IS the gradient: Adam would amplify
+    # fp reduction-order noise of near-zero grads into lr-scale param diffs
+    tx = optax.sgd(1.0)
     state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     def train_step(state, b, rng):
@@ -72,7 +74,7 @@ def test_sharded_step_matches_single_device(mesh_shape):
 
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(out_state.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4)
 
 
 def test_node_sharded_batch_placement():
