@@ -80,6 +80,11 @@ class MAGNOConfig:
     # this size inside GNO/geoembed (bounds transient HBM; pick a divisor of
     # the pipeline's pad_multiple). None = single chunk.
     remat: bool = True  # rematerialize per-chunk edge computations in backward
+    slot_budget: Optional[int] = None  # compact the K stencil slots per point
+    # down to this many (valid-first). EXACT when >= max per-point degree
+    # (#grid points inside the radius ball; ~8 for the drivaernet recipe) —
+    # cuts every per-edge cost ~K/budget-fold. Validated against the first
+    # sample at trainer init.
     segment_impl: str = "scatter"  # encoder segment reductions: 'scatter'
     # (jax.ops.segment_sum; with the fused encoder the cost is ONE reduction
     # per chunk and scatter wins) | 'sort' (edge sort + cumsum folds)
@@ -212,6 +217,10 @@ class MAGNOEncoder(nn.Module):
                 else None
             )
             slots = apply_edge_sampling(slots, cfg, "encoder", train, rng, M)
+            if cfg.slot_budget is not None and cfg.slot_budget < slots.num_slots:
+                from ..ops.grid_graph import compact_slots
+
+                slots = compact_slots(slots, cfg.slot_budget)
 
             # fused fast path: GNO + statistical geoembed share one chunked
             # scan with one segment reduction per pass (see fused_encoder.py)
@@ -344,6 +353,10 @@ class MAGNODecoder(nn.Module):
                 else None
             )
             slots = apply_edge_sampling(slots, cfg, "decoder", train, rng, M)
+            if cfg.slot_budget is not None and cfg.slot_budget < slots.num_slots:
+                from ..ops.grid_graph import compact_slots
+
+                slots = compact_slots(slots, cfg.slot_budget)
 
             decoded = IntegralTransform(
                 channel_mlp_layers=tuple(gno_layers),

@@ -242,6 +242,33 @@ def build_edge_slots_batched(
     return jax.vmap(fn)(points, point_mask)
 
 
+def compact_slots(slots: EdgeSlots, budget: int) -> EdgeSlots:
+    """Pack valid slots to the front of each row and truncate K to `budget`.
+
+    The stencil window is conservative: for the DrivAerNet recipe (r=0.033,
+    64x64x32 grid) K=48 candidate slots hold only ~3 valid edges on average
+    (~6% mask density), yet every downstream per-edge op (kernel MLP, segment
+    reduction — which is row-latency-bound on TPU) pays for all K rows.
+    Compaction is exact as long as `budget` >= the max per-point degree (a
+    geometric bound: the number of grid points inside the radius ball — ~8 for
+    the recipe above). Rows are kept in slot order (stable), so reductions are
+    permutation-identical per query.
+    """
+    mask = slots.mask
+    order = jnp.argsort(jnp.logical_not(mask), axis=-1, stable=True)
+    idx = jnp.take_along_axis(slots.lat_idx, order, axis=-1)[..., :budget]
+    msk = jnp.take_along_axis(mask, order, axis=-1)[..., :budget]
+    return EdgeSlots(lat_idx=idx, mask=msk)
+
+
+def max_slot_degree(slots: EdgeSlots) -> int:
+    """Host-side: the max number of valid slots in any row (for validating a
+    slot_budget choice against real data)."""
+    import numpy as np
+
+    return int(np.asarray(slots.mask).sum(axis=-1).max())
+
+
 def build_edge_slots_np(
     points: np.ndarray,
     grid: LatentGrid,

@@ -21,6 +21,7 @@ import numpy as np
 
 def _prefix_sum_kernel(x_ref, out_ref, carry_ref):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
 
@@ -29,7 +30,16 @@ def _prefix_sum_kernel(x_ref, out_ref, carry_ref):
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
     x = x_ref[...].astype(jnp.float32)
-    cs = jnp.cumsum(x, axis=0) + carry_ref[...]
+    n = x.shape[0]
+    # jnp.cumsum is not lowerable in Pallas TPU; use log-depth shift-accumulate
+    # entirely in VMEM (Hillis-Steele scan).
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        rolled = pltpu.roll(x, shift=s, axis=0)
+        x = x + jnp.where(row >= s, rolled, 0.0)
+        s *= 2
+    cs = x + carry_ref[...]
     out_ref[...] = cs
     carry_ref[...] = cs[-1:, :]
 

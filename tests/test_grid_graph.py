@@ -84,3 +84,21 @@ def test_points_outside_grid_knn_still_valid():
     got = slots_to_edge_set(slots)
     want = brute_force_edges(pts, np.asarray(grid.positions()), 0.1, 1, "knn")
     assert got == want
+
+
+def test_compact_slots_exact():
+    from gaot3d_tpu.ops.grid_graph import compact_slots, max_slot_degree
+
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    grid = LatentGrid(dims=(8, 8, 8))
+    slots = build_edge_slots(jnp.asarray(pts), grid, 0.3, strategy="bidirectional")
+    deg = max_slot_degree(slots)
+    assert deg < slots.num_slots  # conservative window confirmed
+    compacted = compact_slots(slots, budget=deg)
+    assert compacted.num_slots == deg
+    # identical edge sets
+    assert slots_to_edge_set(compacted) == slots_to_edge_set(slots)
+    # truncating below the max degree drops edges (documented hazard)
+    lossy = compact_slots(slots, budget=max(1, deg - 1))
+    assert len(slots_to_edge_set(lossy)) < len(slots_to_edge_set(slots))

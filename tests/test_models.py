@@ -263,3 +263,18 @@ def test_fused_encoder_matches_modular():
     mod_params = {"params": tu.unflatten_dict(rename)}
     out_mod = m_mod.apply(mod_params, pos, feats, mask)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_mod), atol=3e-5)
+
+
+def test_slot_budget_model_equivalence():
+    """slot_budget compaction with a sufficient budget must not change model
+    outputs at all."""
+    rng = np.random.default_rng(31)
+    pos = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 2)), jnp.float32)
+    mask = jnp.ones((2, 64), bool)
+    m_full = tiny_model()
+    m_budget = tiny_model(slot_budget=24)
+    params = m_full.init({"params": jax.random.key(0)}, pos, feats, mask)
+    out_full = m_full.apply(params, pos, feats, mask)
+    out_budget = m_budget.apply(params, pos, feats, mask)
+    np.testing.assert_allclose(np.asarray(out_budget), np.asarray(out_full), atol=3e-5)
