@@ -398,6 +398,30 @@ class StaticTrainer3D(TrainerBase):
             slot_mode = "async"
             magno_cfg.precompute_edges = True
 
+        # slot_budget safety: compaction is only exact when the budget covers
+        # the max per-point degree — validate against a real sample up front
+        if magno_cfg.slot_budget is not None:
+            from ..models.magno import parse_neighbor_strategy as _pns
+            from ..ops.grid_graph import build_edge_slots_np
+
+            probe_ds = MeshDataset(dataset_config, "test")
+            probe_pos = pre(probe_ds[0])["pos"]
+            enc_s, dec_s = _pns(magno_cfg.neighbor_strategy)
+            for strat in {enc_s, dec_s}:
+                for scale in magno_cfg.scales:
+                    _, m = build_edge_slots_np(
+                        probe_pos, self.grid, magno_cfg.gno_radius * scale,
+                        magno_cfg.k_neighbors, strat,
+                    )
+                    deg = int(m.sum(axis=-1).max())
+                    if deg > magno_cfg.slot_budget:
+                        raise ValueError(
+                            f"magno.slot_budget={magno_cfg.slot_budget} is below the "
+                            f"max per-point degree {deg} observed for strategy "
+                            f"'{strat}' at scale {scale} — compaction would drop "
+                            f"edges. Raise slot_budget to at least {deg}."
+                        )
+
         shard_kw = dict(num_shards=self.num_processes, shard_index=self.process_index)
         common = dict(
             preprocessor=pre,

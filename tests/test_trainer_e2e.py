@@ -88,3 +88,14 @@ def test_checkpoint_artifacts_roundtrip(tmp_path, monkeypatch):
     trainer.load_from_artifact("best")
     leaves = jax.tree.leaves(trainer.state.params)
     assert any(bool((l != 0).any()) for l in leaves)
+
+
+def test_slot_budget_validation(tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="slot_budget"):
+        _run(
+            "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+            overrides={"model": {"args": {"magno": {"slot_budget": 1,
+                                                    "gno_radius": 0.5}}}},
+        )
