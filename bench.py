@@ -45,7 +45,7 @@ def main():
         projection_channels=256,
         encoder_feature_attr="x",
         edge_chunk_size=16384,
-        slot_budget=int(os.environ.get("BENCH_SLOT_BUDGET", 16)),
+        slot_budget=int(os.environ.get("BENCH_SLOT_BUDGET", 8)),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
     )
     attn = TransformerConfig(
