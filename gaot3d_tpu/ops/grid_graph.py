@@ -255,9 +255,16 @@ def compact_slots(slots: EdgeSlots, budget: int) -> EdgeSlots:
     permutation-identical per query.
     """
     mask = slots.mask
-    order = jnp.argsort(jnp.logical_not(mask), axis=-1, stable=True)
-    idx = jnp.take_along_axis(slots.lat_idx, order, axis=-1)[..., :budget]
-    msk = jnp.take_along_axis(mask, order, axis=-1)[..., :budget]
+    K = mask.shape[-1]
+    # stable valid-first partition via top_k (argsort along a 48-lane minor
+    # axis lowers to a generic sort on TPU — measured ~2.7s at 500K points;
+    # top_k is an optimized primitive). Key: valid slots rank above invalid,
+    # ties broken by ascending slot order.
+    lane = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    keys = mask.astype(jnp.int32) * K + (K - 1 - lane)
+    _, order = jax.lax.top_k(keys, budget)
+    idx = jnp.take_along_axis(slots.lat_idx, order, axis=-1)
+    msk = jnp.take_along_axis(mask, order, axis=-1)
     return EdgeSlots(lat_idx=idx, mask=msk)
 
 
