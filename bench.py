@@ -46,6 +46,7 @@ def main():
         encoder_feature_attr="x",
         edge_chunk_size=16384,
         slot_budget=int(os.environ.get("BENCH_SLOT_BUDGET", 8)),
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
     )
     attn = TransformerConfig(
