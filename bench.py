@@ -55,7 +55,8 @@ def main():
         num_layers=10,
         positional_embedding="rope",
         attn_config=AttentionConfig(
-            hidden_size=256, num_heads=8, num_kv_heads=8, atten_dropout=0.1,
+            hidden_size=256, num_heads=8, num_kv_heads=8,
+            atten_dropout=float(os.environ.get("BENCH_ATTN_DROPOUT", 0.1)),
             attention_impl="flash",
         ),
         ffn_config=FFNConfig(hidden_size=1024),

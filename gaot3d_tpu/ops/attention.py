@@ -22,8 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _fast_keep_mask(rng: jax.Array, rate: float, shape) -> jnp.ndarray:
+    """Bernoulli keep-mask via the XLA RngBitGenerator (hardware-speed RNG).
+
+    jax.random.bernoulli uses threefry (dozens of ALU ops per word), which is
+    the dominant cost of attention-probability dropout over 16K-token
+    sequences. RBG is a different (still high-quality, counter-based) stream —
+    statistically equivalent dropout, not bit-identical to threefry.
+    """
+    kd = jax.random.key_data(rng).astype(jnp.uint32).reshape(-1)
+    key4 = jnp.concatenate([kd, kd])[:4]
+    _, bits = jax.lax.rng_bit_generator(key4, shape, dtype=jnp.uint32)
+    return bits >= jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
+
+
 def _dropout(weights: jnp.ndarray, rate: float, rng: jax.Array) -> jnp.ndarray:
-    keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
+    keep = _fast_keep_mask(rng, rate, weights.shape)
     return jnp.where(keep, weights / (1.0 - rate), 0.0)
 
 
@@ -90,7 +104,7 @@ def flash_attention_xla(
         p = jnp.where(valid_i[None, None, None, :], p, 0.0)
         if dropout_rate > 0.0 and rng is not None:
             r = jax.random.fold_in(rng, idx)
-            keep = jax.random.bernoulli(r, 1.0 - dropout_rate, p.shape)
+            keep = _fast_keep_mask(r, dropout_rate, p.shape)
             p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
         else:
             p_drop = p
