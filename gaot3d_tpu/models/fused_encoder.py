@@ -42,6 +42,7 @@ class FusedEncoderScale(nn.Module):
     coord_dim: int = 3
     edge_chunk_size: Optional[int] = None
     remat: bool = True
+    remat_policy: str = "nothing"
     segment_impl: str = "scatter"  # fused: 'scatter' wins (1 reduction/chunk)
     use_gno: bool = True
 
@@ -136,7 +137,9 @@ class FusedEncoderScale(nn.Module):
         chunk = self.edge_chunk_size
         if chunk is None or chunk >= N or N % chunk != 0:
             chunk = N
-        maybe_ckpt = jax.checkpoint if (self.remat and chunk < N) else (lambda f: f)
+        from .integral_transform import _ckpt
+
+        maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         body1 = maybe_ckpt(partial(self._pass1_chunk, M))
         if chunk == N:

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops.eigh3 import eigvalsh3x3_desc
 from ..ops.grid_graph import EdgeSlots, LatentGrid
 from ..ops.segment import fold_count, fold_max, fold_sum, make_segment_fold, segment_max, segment_sum
-from .integral_transform import reshape_chunks
+from .integral_transform import _ckpt, reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
 
 
@@ -45,6 +45,7 @@ class GeometricEmbedding(nn.Module):
     pooling: str = "max"  # ['max', 'mean']
     edge_chunk_size: Optional[int] = None
     remat: bool = True
+    remat_policy: str = "nothing"  # 'nothing' | 'dots'
     segment_impl: str = "sort"  # 'sort' (cumsum folds) | 'scatter'
     grid: Optional[LatentGrid] = None  # analytic latent coords (no gather)
 
@@ -235,7 +236,7 @@ class GeometricEmbedding(nn.Module):
         chunk = self.edge_chunk_size
         if chunk is None or chunk >= N or N % chunk != 0:
             chunk = N
-        maybe_ckpt = jax.checkpoint if (self.remat and chunk < N) else (lambda f: f)
+        maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         if self.method == "statistical":
             D = self.input_dim

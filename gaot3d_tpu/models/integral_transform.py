@@ -53,6 +53,19 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+
+
+def _ckpt(remat, policy_name):
+    """jax.checkpoint with an optional save-policy ('nothing' | 'dots')."""
+    import jax as _jax
+
+    if not remat:
+        return lambda f: f
+    if policy_name == "dots":
+        return lambda f: _jax.checkpoint(f, policy=_jax.checkpoint_policies.dots_saveable)
+    return _jax.checkpoint
+
+
 def reshape_chunks(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
     """[B, N, ...] -> [nc, B, chunk, ...] (N must divide; callers pad N to the
     pipeline's pad_multiple, so pick edge_chunk_size | pad_multiple)."""
@@ -70,6 +83,7 @@ class IntegralTransform(nn.Module):
     attention_type: str = "cosine"  # ['cosine', 'dot_product']
     edge_chunk_size: Optional[int] = None  # chunk the node axis (memory bound)
     remat: bool = True  # rematerialize per-chunk edge computations in backward
+    remat_policy: str = "nothing"  # 'nothing' | 'dots'
     segment_impl: str = "sort"  # 'sort' (cumsum folds, TPU fast path) | 'scatter'
     grid: Optional[LatentGrid] = None  # when set, latent token coordinates are
     # computed arithmetically from the slot index (no per-edge HBM gather)
@@ -237,7 +251,7 @@ class IntegralTransform(nn.Module):
         chunk = self.edge_chunk_size
         if chunk is None or chunk >= N or N % chunk != 0:
             chunk = N  # single chunk
-        maybe_ckpt = jax.checkpoint if (self.remat and chunk < N) else (lambda f: f)
+        maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         if direction == "decoder":
             body = maybe_ckpt(partial(self._decoder_chunk, latent_pos, src_feats))

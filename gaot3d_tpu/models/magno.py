@@ -80,6 +80,8 @@ class MAGNOConfig:
     # this size inside GNO/geoembed (bounds transient HBM; pick a divisor of
     # the pipeline's pad_multiple). None = single chunk.
     remat: bool = True  # rematerialize per-chunk edge computations in backward
+    remat_policy: str = "nothing"  # 'nothing' (recompute all) | 'dots' (save
+    # matmul outputs: trades HBM for less recompute in backward)
     slot_budget: Optional[int] = None  # compact the K stencil slots per point
     # down to this many (valid-first). EXACT when >= max per-point degree
     # (#grid points inside the radius ball; ~8 for the drivaernet recipe) —
@@ -242,6 +244,7 @@ class MAGNOEncoder(nn.Module):
                     coord_dim=cfg.gno_coord_dim,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     use_gno=cfg.use_gno,
                 )(slots, point_pos, lifted, latent_pos)
@@ -264,6 +267,7 @@ class MAGNOEncoder(nn.Module):
                     attention_type=cfg.attention_type,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,
                 )(slots, point_pos, latent_pos, lifted, direction="encoder")
@@ -277,6 +281,7 @@ class MAGNOEncoder(nn.Module):
                     pooling=cfg.pooling,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,
                 )(slots, point_pos, latent_pos, direction="encoder")
@@ -366,6 +371,7 @@ class MAGNODecoder(nn.Module):
                 attention_type=cfg.attention_type,
                 edge_chunk_size=cfg.edge_chunk_size,
                 remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
                 segment_impl=cfg.segment_impl,
                 grid=self.grid,
             )(slots, query_pos, latent_pos, latent_feats, direction="decoder")
@@ -378,6 +384,7 @@ class MAGNODecoder(nn.Module):
                     pooling=cfg.pooling,
                     edge_chunk_size=cfg.edge_chunk_size,
                     remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,
                 )(slots, query_pos, latent_pos, direction="decoder", query_mask=query_mask)
