@@ -47,6 +47,7 @@ def main():
         edge_chunk_size=16384,
         slot_budget=int(os.environ.get("BENCH_SLOT_BUDGET", 8)),
         remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
     )
     attn = TransformerConfig(
