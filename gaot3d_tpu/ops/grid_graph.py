@@ -242,6 +242,25 @@ def build_edge_slots_batched(
     return jax.vmap(fn)(points, point_mask)
 
 
+def stencil_base_cell(
+    points: jnp.ndarray, grid: LatentGrid, radius: float, k_neighbors: int, strategy: str
+) -> jnp.ndarray:
+    """Flattened stencil-window base cell per point [N].
+
+    Key structural property (the basis for sort-free segment folds): by
+    construction, lat_idx[n, k] == stencil_base_cell(n) + offset(k) where
+    offset depends only on the slot index k. Sorting points by this base makes
+    EVERY per-slot destination stream monotone non-decreasing, so segment
+    reductions need no per-chunk edge sort at all — one point sort per batch.
+    (Verified by test_grid_graph.test_base_cell_monotone_slots.)
+    """
+    eff = "bidirectional" if strategy == "reverse" else strategy
+    widths = stencil_widths(grid, radius, k_neighbors, eff)
+    idx_axes, _ = _candidate_window(points, grid, widths)
+    base = (idx_axes[0][..., 0] * grid.dims[1] + idx_axes[1][..., 0]) * grid.dims[2] + idx_axes[2][..., 0]
+    return base.astype(jnp.int32)
+
+
 def compact_slots(slots: EdgeSlots, budget: int) -> EdgeSlots:
     """Pack valid slots to the front of each row and truncate K to `budget`.
 

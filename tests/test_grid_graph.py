@@ -102,3 +102,20 @@ def test_compact_slots_exact():
     # truncating below the max degree drops edges (documented hazard)
     lossy = compact_slots(slots, budget=max(1, deg - 1))
     assert len(slots_to_edge_set(lossy)) < len(slots_to_edge_set(slots))
+
+
+def test_base_cell_monotone_slots():
+    """Sorting points by the stencil base cell makes every per-slot destination
+    stream monotone — the structural property behind the planned sort-free
+    segment folds (lat_idx[n, k] = base(n) + offset(k))."""
+    from gaot3d_tpu.ops.grid_graph import stencil_base_cell
+
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(-1.2, 1.2, size=(500, 3)).astype(np.float32)
+    grid = LatentGrid(dims=(8, 6, 4))
+    base = np.asarray(stencil_base_cell(jnp.asarray(pts), grid, 0.35, 1, "bidirectional"))
+    order = np.argsort(base, kind="stable")
+    slots = build_edge_slots(jnp.asarray(pts[order]), grid, 0.35, strategy="bidirectional")
+    lat = np.asarray(slots.lat_idx)
+    for k in range(lat.shape[1]):
+        assert np.all(np.diff(lat[:, k]) >= 0), f"slot {k} not monotone"
