@@ -44,7 +44,7 @@ def main():
         out_gno_channel_mlp_hidden_layers=[64, 64],
         projection_channels=256,
         encoder_feature_attr="x",
-        edge_chunk_size=16384,
+        edge_chunk_size=int(os.environ.get("BENCH_CHUNK", 65536)),
         slot_budget=int(os.environ.get("BENCH_SLOT_BUDGET", 8)),
         remat=os.environ.get("BENCH_REMAT", "1") == "1",
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..ops.eigh3 import eigvalsh3x3_desc
 from ..ops.grid_graph import EdgeSlots, LatentGrid
 from ..ops.segment import fold_sum, make_segment_fold, segment_sum
-from .integral_transform import reshape_chunks
+from .integral_transform import effective_chunk, reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
 
 
@@ -134,9 +134,7 @@ class FusedEncoderScale(nn.Module):
         C = self.lifting_channels
         D = self.coord_dim
         P = (C if self.use_gno else 0) + 3 + D
-        chunk = self.edge_chunk_size
-        if chunk is None or chunk >= N or N % chunk != 0:
-            chunk = N
+        chunk = effective_chunk(N, self.edge_chunk_size)
         from .integral_transform import _ckpt
 
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)

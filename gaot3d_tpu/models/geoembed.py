@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops.eigh3 import eigvalsh3x3_desc
 from ..ops.grid_graph import EdgeSlots, LatentGrid
 from ..ops.segment import fold_count, fold_max, fold_sum, make_segment_fold, segment_max, segment_sum
-from .integral_transform import _ckpt, reshape_chunks
+from .integral_transform import _ckpt, effective_chunk, reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
 
 
@@ -233,9 +233,7 @@ class GeometricEmbedding(nn.Module):
     ) -> jnp.ndarray:
         B, N, K = slots.mask.shape
         M = latent_pos.shape[0]
-        chunk = self.edge_chunk_size
-        if chunk is None or chunk >= N or N % chunk != 0:
-            chunk = N
+        chunk = effective_chunk(N, self.edge_chunk_size)
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         if self.method == "statistical":

@@ -66,6 +66,18 @@ def _ckpt(remat, policy_name):
     return _jax.checkpoint
 
 
+def effective_chunk(N: int, chunk) -> int:
+    """Largest usable chunk <= requested that divides N (falling back to full
+    N only when N itself is small). Guards against the silent full-N fallback
+    blowing transient HBM when the padded N is not an exact multiple."""
+    if chunk is None or chunk >= N:
+        return N
+    c = int(chunk)
+    while c > 1 and N % c != 0:
+        c //= 2
+    return c if c > 1 and N % c == 0 else N
+
+
 def reshape_chunks(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:
     """[B, N, ...] -> [nc, B, chunk, ...] (N must divide; callers pad N to the
     pipeline's pad_multiple, so pick edge_chunk_size | pad_multiple)."""
@@ -248,9 +260,7 @@ class IntegralTransform(nn.Module):
         B, N, K = slots.mask.shape
         M = latent_pos.shape[0]
         C = self.channel_mlp_layers[-1]
-        chunk = self.edge_chunk_size
-        if chunk is None or chunk >= N or N % chunk != 0:
-            chunk = N  # single chunk
+        chunk = effective_chunk(N, self.edge_chunk_size)
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         if direction == "decoder":
