@@ -278,3 +278,30 @@ def test_slot_budget_model_equivalence():
     out_full = m_full.apply(params, pos, feats, mask)
     out_budget = m_budget.apply(params, pos, feats, mask)
     np.testing.assert_allclose(np.asarray(out_budget), np.asarray(out_full), atol=3e-5)
+
+
+def test_conditional_norm_paths():
+    """Time-conditioned normalization in attention + FFN (reference
+    ConditionedNorm, mlp.py:74-124, wired via use_conditional_norm)."""
+    from gaot3d_tpu.models.transformer import TransformerBlock
+
+    block = TransformerBlock(
+        input_size=16,
+        output_size=16,
+        attn_config=AttentionConfig(
+            hidden_size=16, num_heads=2, num_kv_heads=2, atten_dropout=0.0,
+            use_conditional_norm=True, attention_impl="naive",
+            attention_dtype="float32",
+        ),
+        ffn_config=FFNConfig(hidden_size=32, use_conditional_norm=True),
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+    c = jnp.asarray([[0.5], [1.0]], jnp.float32)
+    params = block.init(jax.random.key(0), x, condition=c)
+    out0 = block.apply(params, x, condition=c)
+    out1 = block.apply(params, x, condition=c * 2)
+    assert out0.shape == (2, 8, 16)
+    assert bool(jnp.isfinite(out0).all())
+    # the condition actually modulates the output
+    assert float(jnp.abs(out0 - out1).max()) > 1e-6

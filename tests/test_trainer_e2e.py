@@ -99,3 +99,16 @@ def test_slot_budget_validation(tmp_path, monkeypatch):
             overrides={"model": {"args": {"magno": {"slot_budget": 1,
                                                     "gno_radius": 0.5}}}},
         )
+
+
+def test_drivaernet_metric_suite_through_trainer(tmp_path, monkeypatch):
+    trainer, _ = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={"optimizer": {"args": {"epoch": 2}},
+                   "setup": {"test": False},
+                   "dataset": {"metric_suite": "drivaernet"}},
+    )
+    metrics = trainer.test()
+    for key in ("MSE", "MAE", "RMSE", "Max_Error", "Rel_L2", "Rel_L1", "MSE_std"):
+        assert key in metrics, key
+    assert np.isfinite(metrics["MSE"])
