@@ -452,6 +452,23 @@ class StaticTrainer3D(TrainerBase):
         self.num_input_channels = sample["enc_feats"].shape[-1]
         self.num_output_channels = sample["x"].shape[-1]
 
+        # edge-count columns in the results row (reference datarow
+        # 'p2r edges' / 'r2p edges', main.py:107-118; measured on sample 0)
+        try:
+            from ..models.magno import parse_neighbor_strategy as _pns2
+            from ..ops.grid_graph import build_edge_slots_np as _besn
+
+            enc_s2, dec_s2 = _pns2(magno_cfg.neighbor_strategy)
+            _, em = _besn(sample["pos"], self.grid, magno_cfg.gno_radius,
+                          magno_cfg.k_neighbors, enc_s2)
+            _, dm = _besn(sample["pos"], self.grid, magno_cfg.gno_radius,
+                          magno_cfg.k_neighbors, dec_s2)
+            self.datarow["p2r edges"] = int(em.sum())
+            self.datarow["r2p edges"] = int(dm.sum())
+            self.datarow["r2r edges"] = -1  # no latent-latent graph (attention)
+        except Exception:  # pragma: no cover
+            pass
+
     # -- model ----------------------------------------------------------------
     def init_model(self, model_config):
         self.model = init_model(
