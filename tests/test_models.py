@@ -305,3 +305,37 @@ def test_conditional_norm_paths():
     assert bool(jnp.isfinite(out0).all())
     # the condition actually modulates the output
     assert float(jnp.abs(out0 - out1).max()) > 1e-6
+
+
+def test_mlp_zoo():
+    """MLP zoo behaviors (reference mlp.py): num_layers<=2 degenerates to a
+    single Linear; ChannelMLP == LinearChannelMLP math; AugmentedMLP norm."""
+    from gaot3d_tpu.models.mlp import MLP, AugmentedMLP, ChannelMLP, LinearChannelMLP, activation_fn
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 6)), jnp.float32)
+
+    m1 = MLP(output_size=4, hidden_size=16, num_layers=2)
+    p1 = m1.init(jax.random.key(0), x)
+    assert len(jax.tree.leaves(p1)) == 2  # single Linear (reference quirk)
+
+    m3 = MLP(output_size=4, hidden_size=16, num_layers=3)
+    p3 = m3.init(jax.random.key(0), x)
+    assert m3.apply(p3, x).shape == (5, 4)
+
+    lin = LinearChannelMLP(layers=(6, 8, 4))
+    ch = ChannelMLP(out_channels=4, hidden_channels=8, n_layers=2)
+    pl_ = lin.init(jax.random.key(1), x)
+    pc = ch.init(jax.random.key(1), x)
+    # same structure, same init rng -> identical math (Conv1d k=1 == Dense)
+    np.testing.assert_allclose(
+        np.asarray(lin.apply(pl_, x)), np.asarray(ch.apply(pc, x)), atol=1e-6
+    )
+
+    aug = AugmentedMLP(output_size=4, hidden_size=8, use_layer_norm=True)
+    pa = aug.init(jax.random.key(2), x)
+    out = aug.apply(pa, x)
+    np.testing.assert_allclose(np.asarray(out.mean(-1)), 0.0, atol=1e-5)
+
+    assert activation_fn("none")(x) is x
+    assert float(jnp.abs(activation_fn("swish")(x) - jax.nn.silu(x)).max()) == 0
