@@ -58,7 +58,7 @@ def main():
         attn_config=AttentionConfig(
             hidden_size=256, num_heads=8, num_kv_heads=8,
             atten_dropout=float(os.environ.get("BENCH_ATTN_DROPOUT", 0.1)),
-            attention_impl="flash",
+            attention_impl=os.environ.get("BENCH_ATTN_IMPL", "auto"),
         ),
         ffn_config=FFNConfig(hidden_size=1024),
     )
