@@ -138,6 +138,10 @@ def pallas_flash_attention(q, k, v):
     torch-SDPA semantics require 1/sqrt(d). Falls back to flash-XLA on
     non-TPU backends."""
     try:
+        # platform check must be explicit: tracing succeeds on CPU but the
+        # Mosaic lowering fails at jit-compile time, past any except here
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return flash_attention_xla(q, k, v)
         from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=False, sm_scale=1.0 / (q.shape[-1] ** 0.5))

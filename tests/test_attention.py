@@ -66,3 +66,18 @@ def test_dispatcher_grad(qkv):
     g = jax.grad(loss)(q)
     gn = jax.grad(lambda q: jnp.sum(naive_attention(q, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gn), atol=3e-4)
+
+
+def test_pallas_impl_falls_back_on_cpu():
+    """On non-TPU backends the 'pallas' impl must transparently use flash-XLA
+    (the Mosaic lowering failure happens past tracing, so the platform check
+    must be explicit)."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 2, 4096, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 4096, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 4096, 16)), jnp.float32)
+    out = jax.jit(
+        lambda q, k, v: scaled_dot_product_attention(q, k, v, impl="auto")
+    )(q, k, v)
+    ref = flash_attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
