@@ -112,3 +112,14 @@ def test_drivaernet_metric_suite_through_trainer(tmp_path, monkeypatch):
     for key in ("MSE", "MAE", "RMSE", "Max_Error", "Rel_L2", "Rel_L1", "MSE_std"):
         assert key in metrics, key
     assert np.isfinite(metrics["MSE"])
+
+
+def test_training_determinism(tmp_path, monkeypatch):
+    """Same seed -> bitwise-identical training trajectory (functional RNG;
+    stronger than the reference's cudnn.deterministic best-effort)."""
+    r1 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "a", monkeypatch,
+              overrides={"optimizer": {"args": {"epoch": 2}}, "setup": {"test": False}})[1]
+    r2 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "b", monkeypatch,
+              overrides={"optimizer": {"args": {"epoch": 2}}, "setup": {"test": False}})[1]
+    assert r1["train"]["loss"] == r2["train"]["loss"]
+    assert r1["valid"]["loss"] == r2["valid"]["loss"]
