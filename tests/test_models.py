@@ -339,3 +339,31 @@ def test_mlp_zoo():
 
     assert activation_fn("none")(x) is x
     assert float(jnp.abs(activation_fn("swish")(x) - jax.nn.silu(x)).max()) == 0
+
+
+def test_sampling_strategies_through_model():
+    """Edge-sampling strategies wired through the model: 'ratio' drops edges at
+    train time only; 'max_neighbors' caps per-query degree; the PyG-parity
+    radius cap bounds encoder in-degree (reference magno.py:297-371)."""
+    rng = np.random.default_rng(41)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+
+    m_ratio = tiny_model(sampling_strategy="ratio", sample_ratio=0.5)
+    params = m_ratio.init({"params": jax.random.key(0)}, pos, feats, mask)
+    out_eval = m_ratio.apply(params, pos, feats, mask)  # eval: no dropout
+    out_train1 = m_ratio.apply(params, pos, feats, mask, train=True,
+                               rngs={"edges": jax.random.key(1), "dropout": jax.random.key(2)})
+    out_train2 = m_ratio.apply(params, pos, feats, mask, train=True,
+                               rngs={"edges": jax.random.key(3), "dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(out_train1), np.asarray(out_eval), atol=1e-6)
+    assert not np.allclose(np.asarray(out_train1), np.asarray(out_train2), atol=1e-6)
+
+    for kw in [dict(sampling_strategy="max_neighbors", max_neighbors=2),
+               dict(max_radius_neighbors=2)]:
+        m = tiny_model(**kw)
+        p = m.init({"params": jax.random.key(0)}, pos, feats, mask)
+        out = m.apply(p, pos, feats, mask, train=True,
+                      rngs={"edges": jax.random.key(1), "dropout": jax.random.key(2)})
+        assert bool(jnp.isfinite(out).all()), kw
