@@ -29,12 +29,16 @@ class SetUpConfig:
     train: bool = True
     test: bool = False
     ckpt: bool = False
-    use_variance_test: bool = False
-    # distributed (JAX): data-parallel across local devices by default
+    # distributed (JAX): data-parallel across local devices by default.
+    # world_size/rank drive the multi-host bootstrap (jax.distributed.initialize,
+    # the analogue of the reference's RANK/WORLD_SIZE env dance base.py:87-131);
+    # local_rank is accepted for config parity but unused (a JAX process
+    # addresses all its local chips).
     distributed: bool = False
     world_size: int = 1
     rank: int = 0
     local_rank: int = 0
+    coordinator_address: Optional[str] = None  # host:port of process 0
     backend: str = "jax"  # parity field; collectives ride XLA/ICI
     data_parallel: Optional[int] = None  # devices for the 'data' mesh axis
     node_shards: int = 1  # devices for intra-sample node sharding ('model' axis)

@@ -163,20 +163,32 @@ class BatchLoader:
         n_max = max(s["pos"].shape[0] for s in samples)
         n_pad = self.pad_num_nodes or round_up(n_max, self.pad_multiple)
         B = self.batch_size  # always pad batch dim too (static shapes)
-        pos = np.zeros((B, n_pad, 3), np.float32)
         cin = samples[0]["enc_feats"].shape[-1]
         cout = samples[0]["x"].shape[-1]
-        feats = np.zeros((B, n_pad, cin), np.float32)
-        target = np.zeros((B, n_pad, cout), np.float32)
-        mask = np.zeros((B, n_pad), bool)
         counts = np.zeros((B,), np.int32)
-        for i, s in enumerate(samples):
-            n = min(s["pos"].shape[0], n_pad)
-            pos[i, :n] = s["pos"][:n]
-            feats[i, :n] = s["enc_feats"][:n]
-            target[i, :n] = s["x"][:n]
-            mask[i, :n] = True
-            counts[i] = n
+        counts[: len(samples)] = [min(s["pos"].shape[0], n_pad) for s in samples]
+
+        def padded(key: str, C: int):
+            # threaded native memcpy+memset (native/gaot_io.cpp pad_batch_f32);
+            # numpy fallback when the library isn't built
+            from .native_io import pad_batch_native
+
+            arrs = [np.ascontiguousarray(s[key][:n_pad], np.float32) for s in samples]
+            arrs += [np.zeros((0, C), np.float32)] * (B - len(samples))
+            res = pad_batch_native(arrs, counts, n_pad)
+            if res is not None:
+                return res
+            out = np.zeros((B, n_pad, C), np.float32)
+            msk = np.zeros((B, n_pad), bool)
+            for i, a in enumerate(arrs):
+                n = a.shape[0]
+                out[i, :n] = a
+                msk[i, :n] = True
+            return out, msk
+
+        pos, mask = padded("pos", 3)
+        feats, _ = padded("enc_feats", cin)
+        target, _ = padded("x", cout)
         enc_slots = dec_slots = None
         if self.slot_mode != "device" and "slots" in samples[0]:
             from ..ops.grid_graph import EdgeSlots
@@ -229,17 +241,31 @@ class BatchLoader:
     def __iter__(self) -> Iterator[PointBatch]:
         idx = self._indices()
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        if self.drop_last:
+            idx = idx[: nb * self.batch_size]
         if self.num_workers > 0:
             # async host-side loading+preprocessing (the reference hides graph
             # building in CPU dataloader workers; we hide IO + transforms —
-            # graph building itself runs on device)
+            # graph building itself runs on device). Lookahead is BOUNDED: at
+            # most ~2 batches of samples are in flight, so a slow consumer
+            # never accumulates the whole epoch in host memory (at DrivAerNet
+            # scale one epoch is tens of GB).
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            depth = max(self.num_workers, 2 * self.batch_size)
             with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                futures = [ex.submit(self._load_one, i) for i in idx[: nb * self.batch_size]]
-                for b in range(nb):
-                    chunk = futures[b * self.batch_size : (b + 1) * self.batch_size]
-                    yield self._make_batch([f.result() for f in chunk])
+                futures = deque(ex.submit(self._load_one, i) for i in idx[:depth])
+                submitted = min(depth, len(idx))
+                buf: List[Dict[str, np.ndarray]] = []
+                while futures:
+                    buf.append(futures.popleft().result())
+                    if submitted < len(idx):
+                        futures.append(ex.submit(self._load_one, idx[submitted]))
+                        submitted += 1
+                    if len(buf) == self.batch_size or (not futures and buf):
+                        yield self._make_batch(buf)
+                        buf = []
         else:
             for b in range(nb):
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]

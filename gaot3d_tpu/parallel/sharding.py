@@ -12,46 +12,77 @@ GSPMD sharding annotations:
     latent grid becomes a partial-sum + psum; the decoder's gather-form
     reduction is embarrassingly parallel over the point shard. Both fall out
     of the sharding annotations — no hand-written collectives in the model.
+  - precomputed edge slots (the update_pt_files_with_edges / async collate
+    workflows, reference stat.py:257-272) shard alongside the point axis:
+    EdgeSlots arrays are [B, N, K] with values indexing the replicated latent
+    grid, so a (data, node) shard of N is exact.
 
 The loss is a masked mean over global valid nodes, so gradients are exact
 regardless of how nodes/batches are distributed.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.pipeline import PointBatch
-from .mesh import DATA_AXIS, NODE_AXIS, batch_sharding, replicated
+from .mesh import DATA_AXIS, NODE_AXIS
 
 
-def point_batch_shardings(mesh: Mesh, shard_nodes: bool) -> PointBatch:
-    """A PointBatch of NamedShardings matching PointBatch's array ranks."""
-    bn = P(DATA_AXIS, NODE_AXIS) if shard_nodes else P(DATA_AXIS)
-    return PointBatch(
-        pos=NamedSharding(mesh, bn + (None,) if isinstance(bn, tuple) else bn),
-        feats=NamedSharding(mesh, bn),
-        target=NamedSharding(mesh, bn),
-        node_mask=NamedSharding(mesh, bn),
-        num_nodes=NamedSharding(mesh, P(DATA_AXIS)),
-    )
+def _is_spec(x) -> bool:
+    return isinstance(x, P)
+
+
+def point_batch_specs(batch: PointBatch, shard_nodes: bool) -> PointBatch:
+    """PartitionSpec pytree matching `batch`'s exact structure.
+
+    Every leaf is laid out [B, N, ...]: B over 'data', N over 'node' when
+    shard_nodes, trailing dims (channels, slot count K) replicated. num_nodes
+    is [B]-only. Covers enc_slots/dec_slots when present — precomputed edge
+    structures are first-class in distributed mode, not silently dropped.
+    """
+    bn = (DATA_AXIS, NODE_AXIS) if shard_nodes else (DATA_AXIS,)
+
+    def spec_for(x):
+        extra = max(0, x.ndim - len(bn))
+        return P(*bn[: x.ndim], *([None] * extra))
+
+    specs = jax.tree.map(spec_for, batch)
+    # num_nodes is [B]: data axis only, never node-sharded
+    return specs._replace(num_nodes=P(DATA_AXIS))
+
+
+def point_batch_shardings(mesh: Mesh, shard_nodes: bool,
+                          batch: Optional[PointBatch] = None) -> PointBatch:
+    """A PointBatch of NamedShardings matching PointBatch's array ranks.
+
+    `batch` provides the structure (incl. optional edge slots); without it a
+    slot-less template with the standard field ranks is used.
+    """
+    if batch is None:
+        import numpy as np
+
+        batch = PointBatch(
+            pos=np.zeros((1, 1, 3)), feats=np.zeros((1, 1, 1)),
+            target=np.zeros((1, 1, 1)), node_mask=np.zeros((1, 1), bool),
+            num_nodes=np.zeros((1,), np.int32),
+        )
+    specs = point_batch_specs(batch, shard_nodes)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs, is_leaf=_is_spec)
 
 
 def shard_point_batch(batch: PointBatch, mesh: Mesh, shard_nodes: bool = False) -> PointBatch:
-    """Place a host PointBatch onto the mesh with (data[, node]) sharding."""
-    bn = P(DATA_AXIS, NODE_AXIS) if shard_nodes else P(DATA_AXIS)
-    def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
-    return PointBatch(
-        pos=put(batch.pos, bn),
-        feats=put(batch.feats, bn),
-        target=put(batch.target, bn),
-        node_mask=put(batch.node_mask, bn),
-        num_nodes=put(batch.num_nodes, P(DATA_AXIS)),
+    """Place a host PointBatch onto the mesh with (data[, node]) sharding.
+
+    Threads precomputed enc_slots/dec_slots through with the same layout as
+    the point arrays they index from.
+    """
+    specs = point_batch_specs(batch, shard_nodes)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), batch, specs,
+        is_leaf=lambda x: _is_spec(x),
     )
 
 
@@ -60,26 +91,36 @@ def make_sharded_train_step(
     mesh: Mesh,
     shard_nodes: bool = False,
     donate_state: bool = True,
+    example_batch: Optional[PointBatch] = None,
 ):
-    """Wrap a pure (state, batch, rng) -> (state, loss) step with GSPMD
+    """Wrap a pure (state, batch, rng) -> (state, scalars...) step with GSPMD
     shardings: params/state replicated, batch sharded. XLA inserts all
-    collectives (gradient psum over 'data', segment-reduce psum over 'node')."""
-    bn = P(DATA_AXIS, NODE_AXIS) if shard_nodes else P(DATA_AXIS)
-    batch_spec = PointBatch(
-        pos=bn, feats=bn, target=bn, node_mask=bn, num_nodes=P(DATA_AXIS)
-    )
+    collectives (gradient psum over 'data', segment-reduce psum over 'node').
+
+    Pass `example_batch` when batches carry precomputed edge slots so the
+    in_shardings pytree matches (slots shard with the node axis)."""
+    if example_batch is None:
+        import numpy as np
+
+        example_batch = PointBatch(
+            pos=np.zeros((1, 1, 3)), feats=np.zeros((1, 1, 1)),
+            target=np.zeros((1, 1, 1)), node_mask=np.zeros((1, 1), bool),
+            num_nodes=np.zeros((1,), np.int32),
+        )
+    batch_specs = point_batch_specs(example_batch, shard_nodes)
     state_spec = None  # replicated (inferred)
 
     in_shardings = (
         state_spec,
-        jax.tree.map(lambda spec: NamedSharding(mesh, spec), batch_spec,
-                     is_leaf=lambda x: isinstance(x, P)),
+        jax.tree.map(lambda spec: NamedSharding(mesh, spec), batch_specs,
+                     is_leaf=_is_spec),
         NamedSharding(mesh, P()),
     )
-    out_shardings = (None, NamedSharding(mesh, P()))
     return jax.jit(
         train_step,
         in_shardings=in_shardings,
-        out_shardings=out_shardings,
+        # out: state replicated (inferred) + any number of replicated scalars
+        # (loss, grad-norm, ...) — leave out_shardings inferred so step
+        # signatures can evolve without this wrapper knowing the arity
         donate_argnums=(0,) if donate_state else (),
     )

@@ -67,6 +67,33 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp
     return (diff * diff).sum() / denom
 
 
+def initialize_distributed(setup) -> None:
+    """Multi-host bootstrap: the JAX analogue of the reference's env-var rank
+    dance + init_process_group + barrier (src/trainer/base.py:87-131).
+
+    world_size > 1 means this process is one of several hosts of a slice/pod:
+    jax.distributed.initialize must run before the first backend touch so every
+    process sees the global device set. With a coordinator_address configured
+    we pass the explicit (addr, world_size, rank) triple; otherwise JAX
+    auto-detects from the TPU pod / cluster environment. local_rank is accepted
+    for config parity but unused — a JAX process addresses all its local chips.
+    """
+    if getattr(setup, "world_size", 1) <= 1:
+        return
+    kwargs = {}
+    if getattr(setup, "coordinator_address", None):
+        kwargs = dict(
+            coordinator_address=setup.coordinator_address,
+            num_processes=setup.world_size,
+            process_id=setup.rank,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # already initialized (launcher did it) — proceed
+        logger.info("jax.distributed.initialize skipped: %s", e)
+
+
 def sample_nodes_without_replacement(rng: jax.Array, mask: jnp.ndarray, k: int):
     """Per-graph uniform sample of k valid node indices ([B, N] mask -> [B, k]
     indices + validity). Device-side replacement for the host randperm loop in
@@ -99,7 +126,9 @@ class TrainerBase:
         self.optimizer_config = config.optimizer
         self.path_config = config.path
         self.datarow: Dict[str, Any] = {}
+        self._last_grad_norm = None
 
+        initialize_distributed(self.setup_config)
         self.process_index = jax.process_index()
         self.num_processes = jax.process_count()
         self.is_main = self.process_index == 0
@@ -331,11 +360,10 @@ class StaticTrainer3D(TrainerBase):
             generate_synthetic_dataset(dataset_config, dataset_config.base_path)
         dims = self.model_config.args.latent_tokens
         lo, hi = self.metadata.domain_x
-        if dataset_config.use_rescale_new:
-            # rescale_new maps by the scalar domain min/max — same affine map
-            self.grid = LatentGrid.from_domain(dims, lo, hi, rescale_to=(-1, 1))
-        else:
-            self.grid = LatentGrid.from_domain(dims, lo, hi, rescale_to=(-1, 1))
+        # latent token grid spans the metadata domain rescaled to [-1,1]; the
+        # same affine map applies under both rescale modes (scale.py:5-25 both
+        # use the scalar global min/max), so one construction suffices
+        self.grid = LatentGrid.from_domain(dims, lo, hi, rescale_to=(-1, 1))
         self.latent_tokens_pos = self.grid.positions()
 
         train_ds = MeshDataset(dataset_config, "train") if self.setup_config.train else None
@@ -493,15 +521,16 @@ class StaticTrainer3D(TrainerBase):
             # batch sharded over the 'data' mesh axis (+ optionally the point
             # axis over 'node'), params replicated, XLA inserts the gradient
             # all-reduce over ICI.
-            from ..parallel import make_mesh, make_sharded_train_step
+            from ..parallel import make_mesh
 
             node = max(1, self.setup_config.node_shards)
             data = self.setup_config.data_parallel
             self.mesh = make_mesh(data=data, node=node)
             self._shard_nodes = node > 1
-            self._jit_train_step = make_sharded_train_step(
-                self._train_step, self.mesh, shard_nodes=self._shard_nodes
-            )
+            # built lazily from the first real batch so the in_shardings
+            # pytree matches its structure (precomputed edge slots shard
+            # alongside the node axis instead of being dropped)
+            self._jit_train_step = None
             self._jit_eval_step = jax.jit(self._eval_step)
         else:
             self.mesh = None
@@ -551,8 +580,11 @@ class StaticTrainer3D(TrainerBase):
         loss, grads = jax.value_and_grad(
             lambda p: self._forward_loss(p, batch, rngs, train=True)
         )(state.params)
+        # gradient global-norm: the JAX stand-in for wandb.watch(model)
+        # gradient histograms (reference base.py:187-188); negligible cost
+        grad_norm = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
-        return state, loss
+        return state, loss, grad_norm
 
     def _eval_step(self, params, batch: PointBatch):
         pred = self.model.apply(
@@ -565,10 +597,17 @@ class StaticTrainer3D(TrainerBase):
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
         if self.mesh is not None:
-            from ..parallel import shard_point_batch
+            from ..parallel import make_sharded_train_step, shard_point_batch
 
             batch = shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
-        self.state, loss = self._jit_train_step(self.state, batch, step_rng)
+            if self._jit_train_step is None:
+                self._jit_train_step = make_sharded_train_step(
+                    self._train_step, self.mesh, shard_nodes=self._shard_nodes,
+                    example_batch=batch,
+                )
+        self.state, loss, self._last_grad_norm = self._jit_train_step(
+            self.state, batch, step_rng
+        )
         return loss
 
     # -- loops -----------------------------------------------------------------
@@ -614,7 +653,11 @@ class StaticTrainer3D(TrainerBase):
                 val_losses.append(val_loss)
                 val_epochs.append(epoch)
                 logger.info("epoch %d: train %.6f  val %.6f", epoch, train_loss, val_loss)
-                self.log_metrics({"train/loss": train_loss, "val/loss": val_loss}, step=epoch + 1)
+                row = {"train/loss": train_loss, "val/loss": val_loss}
+                if self.setup_config.wandb_watch_model and self._last_grad_norm is not None:
+                    # gradient-norm tracking: the wandb.watch analogue (base.py:187-188)
+                    row["train/grad_norm"] = float(self._last_grad_norm)
+                self.log_metrics(row, step=epoch + 1)
 
                 current = val_loss if args.early_save_metric == "val" else train_loss
                 if current < best_loss:
@@ -645,11 +688,14 @@ class StaticTrainer3D(TrainerBase):
 
     def validate(self, loader) -> float:
         """Sum of batch-mean losses / dataset size, all-reduced over processes
-        (parity incl. quirk: stat.py:552-573)."""
-        total = 0.0
+        (parity incl. quirk: stat.py:552-573). Loss accumulates ON DEVICE —
+        a single host sync at the end, so the prefetcher keeps the device fed
+        (per-batch float() cost one ~27ms tunnel round-trip each)."""
+        total = jnp.zeros(())
         for batch in prefetch_to_device(iter(loader)):
             _, loss = self._jit_eval_step(self.state.params, batch)
-            total += float(loss)
+            total = total + loss
+        total = float(total)
         if self.num_processes > 1:
             from jax.experimental import multihost_utils
 

@@ -106,27 +106,53 @@ def run_config_file(path: str) -> dict:
     return trainer.datarow
 
 
+def _visible_devices_env(devices) -> dict:
+    """Device-restriction env for one job (reference main.py round-robins jobs
+    over CUDA_VISIBLE_DEVICES; the TPU analogue is TPU_VISIBLE_CHIPS plus the
+    per-chip topology bounds). Must be set before the process imports jax."""
+    ids = ",".join(str(d) for d in devices)
+    return {
+        "TPU_VISIBLE_CHIPS": ids,
+        "TPU_CHIPS_PER_PROCESS_BOUNDS": f"1,{len(devices)},1",
+        "TPU_PROCESS_BOUNDS": "1,1,1",
+        "CUDA_VISIBLE_DEVICES": ids,  # harmless on TPU; correct on GPU hosts
+    }
+
+
 def main():
     args = parse_args()
     setup_logging(args.log_level)
     log = logging.getLogger("gaot3d_tpu.main")
 
     if args.config or args.debug:
+        if args.visible_devices:
+            # in-process: restrict before gaot3d_tpu (and thus jax) is imported
+            os.environ.update(_visible_devices_env(args.visible_devices))
         for f in args.arg_files:
             log.info("Running config %s", f)
             run_config_file(f)
         return
 
     # folder mode: subprocess isolation so one failed job doesn't kill the
-    # sweep (reference: main.py:171-221)
+    # sweep (reference: main.py:171-221); jobs round-robin over
+    # --visible_devices like the reference's per-CUDA-device fan-out
     pending = list(args.arg_files)
     running = []
-    max_jobs = max(1, args.num_works_per_device)
+    devices = args.visible_devices or [None]
+    max_jobs = max(1, args.num_works_per_device) * len(devices)
+    launched = 0
     while pending or running:
         while pending and len(running) < max_jobs:
             f = pending.pop(0)
-            log.info("Launching %s", f)
-            p = subprocess.Popen([sys.executable, __file__, "--config", f, "--debug"])
+            dev = devices[launched % len(devices)]
+            launched += 1
+            env = dict(os.environ)
+            if dev is not None:
+                env.update(_visible_devices_env([dev]))
+            log.info("Launching %s%s", f, f" on device {dev}" if dev is not None else "")
+            p = subprocess.Popen(
+                [sys.executable, __file__, "--config", f, "--debug"], env=env
+            )
             running.append((f, p))
         time.sleep(1.0)
         still = []

@@ -86,6 +86,50 @@ def test_batch_loader_padding_and_masks(synth_root):
     assert int(np.asarray(b2.num_nodes)[2]) == 0
 
 
+def test_batch_loader_bounded_lookahead(synth_root):
+    """Worker loading yields the same batches as serial loading, and never
+    holds more than ~2 batches of samples in flight (the round-1 loader
+    submitted the whole epoch up front — tens of GB at DrivAerNet scale)."""
+    import threading
+
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+
+    serial = list(BatchLoader(ds, pre, batch_size=2, pad_multiple=64))
+
+    class CountingLoader(BatchLoader):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.outstanding = 0
+            self.high_water = 0
+            self._lock = threading.Lock()
+
+        def _load_one(self, i):
+            with self._lock:
+                self.outstanding += 1
+                self.high_water = max(self.high_water, self.outstanding)
+            try:
+                return super()._load_one(i)
+            finally:
+                with self._lock:
+                    self.outstanding -= 1
+
+    loader = CountingLoader(ds, pre, batch_size=2, pad_multiple=64, num_workers=2)
+    threaded = []
+    for b in loader:
+        threaded.append(b)
+        # consume slowly: lookahead must stay bounded regardless
+    assert len(threaded) == len(serial)
+    for s, t in zip(serial, threaded):
+        np.testing.assert_array_equal(np.asarray(s.pos), np.asarray(t.pos))
+        np.testing.assert_array_equal(np.asarray(s.feats), np.asarray(t.feats))
+        np.testing.assert_array_equal(np.asarray(s.num_nodes), np.asarray(t.num_nodes))
+    # depth = max(num_workers, 2*batch_size) = 4 concurrent loads at most
+    assert loader.high_water <= 4
+
+
 def test_batch_loader_sharding_and_epoch_shuffle(synth_root):
     root, cfg = synth_root
     ds = MeshDataset(cfg, "train")

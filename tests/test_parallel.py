@@ -86,6 +86,97 @@ def test_node_sharded_batch_placement():
     assert all(s == (batch.pos.shape[0] // 2, batch.pos.shape[1] // 4, 3) for s in shard_shapes)
 
 
+def test_sharded_step_with_precomputed_slots():
+    """Precomputed edge slots are first-class in distributed mode: they shard
+    alongside the node axis, match single-device results, and are actually
+    consumed (not silently rebuilt on device — the round-1 gap)."""
+    from gaot3d_tpu.ops.grid_graph import LatentGrid, build_edge_slots_batched
+
+    model, state, batch, _ = _setup(batch=8)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(
+        batch.pos, grid, 0.4, k_neighbors=1, strategy="bidirectional",
+        point_mask=batch.node_mask,
+    )
+    slot_batch = batch._replace(enc_slots=(slots,), dec_slots=(slots,))
+
+    def train_step(state, b, rng):
+        def loss_fn(p):
+            pred = model.apply(
+                p, b.pos, b.feats, b.node_mask,
+                encoder_slots=list(b.enc_slots), decoder_slots=list(b.dec_slots),
+            )
+            return masked_mse(pred, b.target, b.node_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    ref_state, ref_loss = jax.jit(train_step)(state, slot_batch, jax.random.key(1))
+
+    mesh = make_mesh(data=4, node=2)
+    step = make_sharded_train_step(
+        train_step, mesh, shard_nodes=True, donate_state=False,
+        example_batch=slot_batch,
+    )
+    sb = shard_point_batch(slot_batch, mesh, shard_nodes=True)
+    # slots really are sharded over (data, node)
+    shard_shapes = {s.data.shape for s in sb.enc_slots[0].lat_idx.addressable_shards}
+    B, N, K = slots.lat_idx.shape
+    assert shard_shapes == {(B // 4, N // 2, K)}
+    with mesh:
+        out_state, loss = step(state, sb, jax.random.key(1))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4)
+
+    # consumption check: all-masked slots must change the result — if the
+    # model silently rebuilt the graph on device, the loss would be identical
+    dead = slots._replace(mask=jnp.zeros_like(slots.mask))
+    dead_batch = slot_batch._replace(enc_slots=(dead,), dec_slots=(dead,))
+    sb_dead = shard_point_batch(dead_batch, mesh, shard_nodes=True)
+    with mesh:
+        _, dead_loss = step(state, sb_dead, jax.random.key(1))
+    assert abs(float(dead_loss) - float(ref_loss)) > 1e-6
+
+
+def test_point_batch_shardings_are_named_shardings():
+    """Regression: every leaf (incl. rank-3 arrays) must be a NamedSharding
+    whose spec is a PartitionSpec, not a plain tuple."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from gaot3d_tpu.parallel.sharding import point_batch_shardings
+
+    mesh = make_mesh(data=4, node=2)
+    shardings = point_batch_shardings(mesh, shard_nodes=True)
+    for leaf in jax.tree.leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    ):
+        assert isinstance(leaf, NamedSharding)
+        assert isinstance(leaf.spec, PartitionSpec)
+
+
+def test_initialize_distributed_bootstrap(monkeypatch):
+    """world_size>1 wires (coordinator_address, world_size, rank) into
+    jax.distributed.initialize; world_size==1 never calls it."""
+    from gaot3d_tpu.config import SetUpConfig
+    from gaot3d_tpu.train.trainer import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.append(kw))
+
+    initialize_distributed(SetUpConfig(world_size=1))
+    assert calls == []
+
+    initialize_distributed(SetUpConfig(
+        world_size=4, rank=2, coordinator_address="10.0.0.1:1234"
+    ))
+    assert calls == [dict(coordinator_address="10.0.0.1:1234",
+                          num_processes=4, process_id=2)]
+
+    calls.clear()
+    initialize_distributed(SetUpConfig(world_size=4, rank=2))
+    assert calls == [{}]  # auto-detect (TPU pod env)
+
+
 def test_trainer_distributed_flag(tmp_path):
     """StaticTrainer3D with setup.distributed=True runs a training epoch on the
     virtual device mesh."""
