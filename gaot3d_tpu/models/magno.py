@@ -201,6 +201,61 @@ class MAGNOEncoder(nn.Module):
                 + [C]
             )
 
+        # ONE set of modules shared across scales (parity: the reference
+        # creates self.gno/self.geoembed/self.recovery once and reuses them
+        # for every scale, magno.py:411-458 + 501-581 — per-scale weights
+        # would be a different, larger model)
+        use_fused = (
+            cfg.fused_encoder
+            and use_geo
+            and cfg.embedding_method == "statistical"
+            and not cfg.use_attn
+        )
+        fused = gno = geoembed = recovery = None
+        if use_fused:
+            from .fused_encoder import FusedEncoderScale
+
+            fused = FusedEncoderScale(
+                lifting_channels=C,
+                kernel_layers=tuple(gno_layers) if cfg.use_gno else (),
+                transform_type=cfg.in_gno_transform_type,
+                grid=self.grid,
+                coord_dim=cfg.gno_coord_dim,
+                edge_chunk_size=cfg.edge_chunk_size,
+                remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
+                segment_impl=cfg.segment_impl,
+                use_gno=cfg.use_gno,
+            )
+        else:
+            if cfg.use_gno:
+                gno = IntegralTransform(
+                    channel_mlp_layers=tuple(gno_layers),
+                    transform_type=cfg.in_gno_transform_type,
+                    use_attn=cfg.use_attn,
+                    coord_dim=cfg.gno_coord_dim,
+                    attention_type=cfg.attention_type,
+                    edge_chunk_size=cfg.edge_chunk_size,
+                    remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
+                    segment_impl=cfg.segment_impl,
+                    grid=self.grid,
+                )
+            if use_geo:
+                geoembed = GeometricEmbedding(
+                    input_dim=cfg.gno_coord_dim,
+                    output_dim=C,
+                    method=cfg.embedding_method,
+                    pooling=cfg.pooling,
+                    edge_chunk_size=cfg.edge_chunk_size,
+                    remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
+                    segment_impl=cfg.segment_impl,
+                    grid=self.grid,
+                )
+        if cfg.use_gno and use_geo:
+            recovery = TorchLinear(C)
+
         encoded_scales = []
         for scale_idx, scale in enumerate(cfg.scales):
             radius = cfg.gno_radius * scale
@@ -226,31 +281,12 @@ class MAGNOEncoder(nn.Module):
 
             # fused fast path: GNO + statistical geoembed share one chunked
             # scan with one segment reduction per pass (see fused_encoder.py)
-            use_fused = (
-                cfg.fused_encoder
-                and use_geo
-                and cfg.embedding_method == "statistical"
-                and not cfg.use_attn
-            )
             if use_fused:
-                from .fused_encoder import FusedEncoderScale
-
                 lifted = lifting(point_feats) if cfg.use_gno else None
-                encoded_gno, geo = FusedEncoderScale(
-                    lifting_channels=C,
-                    kernel_layers=tuple(gno_layers) if cfg.use_gno else (),
-                    transform_type=cfg.in_gno_transform_type,
-                    grid=self.grid,
-                    coord_dim=cfg.gno_coord_dim,
-                    edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
-                    remat_policy=cfg.remat_policy,
-                    segment_impl=cfg.segment_impl,
-                    use_gno=cfg.use_gno,
-                )(slots, point_pos, lifted, latent_pos)
+                encoded_gno, geo = fused(slots, point_pos, lifted, latent_pos)
                 if encoded_gno is not None:
                     combined = jnp.concatenate([encoded_gno, geo], axis=-1)
-                    encoded = TorchLinear(C)(combined)  # recovery MLP
+                    encoded = recovery(combined)  # recovery MLP
                 else:
                     encoded = geo
                 encoded_scales.append(encoded)
@@ -259,36 +295,15 @@ class MAGNOEncoder(nn.Module):
             encoded_gno = None
             if cfg.use_gno:
                 lifted = lifting(point_feats)  # [B, N, C]
-                encoded_gno = IntegralTransform(
-                    channel_mlp_layers=tuple(gno_layers),
-                    transform_type=cfg.in_gno_transform_type,
-                    use_attn=cfg.use_attn,
-                    coord_dim=cfg.gno_coord_dim,
-                    attention_type=cfg.attention_type,
-                    edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
-                    remat_policy=cfg.remat_policy,
-                    segment_impl=cfg.segment_impl,
-                    grid=self.grid,
-                )(slots, point_pos, latent_pos, lifted, direction="encoder")
+                encoded_gno = gno(slots, point_pos, latent_pos, lifted, direction="encoder")
 
             geo = None
             if use_geo:
-                geo = GeometricEmbedding(
-                    input_dim=cfg.gno_coord_dim,
-                    output_dim=C,
-                    method=cfg.embedding_method,
-                    pooling=cfg.pooling,
-                    edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
-                    remat_policy=cfg.remat_policy,
-                    segment_impl=cfg.segment_impl,
-                    grid=self.grid,
-                )(slots, point_pos, latent_pos, direction="encoder")
+                geo = geoembed(slots, point_pos, latent_pos, direction="encoder")
 
             if encoded_gno is not None and geo is not None:
                 combined = jnp.concatenate([encoded_gno, geo], axis=-1)
-                encoded = TorchLinear(C)(combined)  # recovery MLP
+                encoded = recovery(combined)  # recovery MLP
             elif encoded_gno is not None:
                 encoded = encoded_gno
             elif geo is not None:
@@ -340,6 +355,35 @@ class MAGNODecoder(nn.Module):
             + [C]
         )
 
+        # ONE set of modules shared across scales (parity: reference
+        # magno.py:605-690 creates gno/geoembed/recovery once)
+        gno = IntegralTransform(
+            channel_mlp_layers=tuple(gno_layers),
+            transform_type=cfg.out_gno_transform_type,
+            use_attn=cfg.use_attn,
+            coord_dim=cfg.gno_coord_dim,
+            attention_type=cfg.attention_type,
+            edge_chunk_size=cfg.edge_chunk_size,
+            remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
+            segment_impl=cfg.segment_impl,
+            grid=self.grid,
+        )
+        geoembed = recovery = None
+        if use_geo:
+            geoembed = GeometricEmbedding(
+                input_dim=cfg.gno_coord_dim,
+                output_dim=C,
+                method=cfg.embedding_method,
+                pooling=cfg.pooling,
+                edge_chunk_size=cfg.edge_chunk_size,
+                remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
+                segment_impl=cfg.segment_impl,
+                grid=self.grid,
+            )
+            recovery = TorchLinear(C)
+
         decoded_scales = []
         for scale_idx, scale in enumerate(cfg.scales):
             radius = cfg.gno_radius * scale
@@ -363,33 +407,13 @@ class MAGNODecoder(nn.Module):
 
                 slots = compact_slots(slots, cfg.slot_budget)
 
-            decoded = IntegralTransform(
-                channel_mlp_layers=tuple(gno_layers),
-                transform_type=cfg.out_gno_transform_type,
-                use_attn=cfg.use_attn,
-                coord_dim=cfg.gno_coord_dim,
-                attention_type=cfg.attention_type,
-                edge_chunk_size=cfg.edge_chunk_size,
-                remat=cfg.remat,
-                remat_policy=cfg.remat_policy,
-                segment_impl=cfg.segment_impl,
-                grid=self.grid,
-            )(slots, query_pos, latent_pos, latent_feats, direction="decoder")
+            decoded = gno(slots, query_pos, latent_pos, latent_feats, direction="decoder")
 
             if use_geo:
-                geo = GeometricEmbedding(
-                    input_dim=cfg.gno_coord_dim,
-                    output_dim=C,
-                    method=cfg.embedding_method,
-                    pooling=cfg.pooling,
-                    edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
-                    remat_policy=cfg.remat_policy,
-                    segment_impl=cfg.segment_impl,
-                    grid=self.grid,
-                )(slots, query_pos, latent_pos, direction="decoder", query_mask=query_mask)
+                geo = geoembed(slots, query_pos, latent_pos, direction="decoder",
+                               query_mask=query_mask)
                 combined = jnp.concatenate([decoded, geo], axis=-1)
-                decoded = TorchLinear(C)(combined)  # recovery MLP
+                decoded = recovery(combined)  # recovery MLP
             decoded_scales.append(decoded)
 
         if len(decoded_scales) == 1:

@@ -1,0 +1,661 @@
+"""Full-model weight-transfer parity against the ACTUAL torch reference code
+at /root/reference (imported under torch CPU with pure-torch stand-ins for the
+missing PyG/rotary wheels — see reference_stubs.py).
+
+Protocol: build the reference module with its own torch init, copy its
+state_dict into the flax params, feed BOTH sides the SAME edge sets (ours from
+the stencil builder, converted to edge_index for the reference's
+precompute_edges path), and assert outputs match to f32 tolerance. This
+isolates model math; graph-BUILD parity is asserted separately
+(test_edge_build_matches_reference) where the reference computes its own
+edges via brute-force knn/radius.
+
+Covers VERDICT.md round-1 gap #3: IntegralTransform / GeometricEmbedding /
+MAGNOEncoder+Decoder / full GAOT3D (reference src/model/gaot_3d.py:248-332,
+src/model/layers/magno.py:377-798), plus one optimizer-step trajectory.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_stubs import install_reference_stubs
+
+install_reference_stubs()
+
+import src.model.layers.integral_transform as ref_it  # noqa: E402
+import src.model.layers.geoembed as ref_ge  # noqa: E402
+import src.model.layers.magno as ref_magno  # noqa: E402
+import src.model.layers.attn as ref_attn  # noqa: E402
+import src.model.gaot_3d as ref_gaot  # noqa: E402
+from reference_stubs import Batch as RefBatch  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gaot3d_tpu.models import init_model  # noqa: E402
+from gaot3d_tpu.models.geoembed import GeometricEmbedding  # noqa: E402
+from gaot3d_tpu.models.integral_transform import IntegralTransform  # noqa: E402
+from gaot3d_tpu.models.magno import MAGNOConfig, MAGNODecoder, MAGNOEncoder  # noqa: E402
+from gaot3d_tpu.models.transformer import (  # noqa: E402
+    AttentionConfig,
+    FFNConfig,
+    TransformerConfig,
+)
+from gaot3d_tpu.ops.grid_graph import EdgeSlots, LatentGrid, build_edge_slots  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def t2j(x):
+    return jnp.asarray(x.detach().cpu().numpy())
+
+
+def _mlp_weight(sd, name):
+    """torch Linear [out,in] or Conv1d [out,in,1] -> flax kernel [in,out]."""
+    w = sd[name + ".weight"]
+    if w.ndim == 3:
+        w = w.squeeze(-1)
+    return t2j(w).T
+
+
+def dense(sd, name, bias=True):
+    p = {"kernel": _mlp_weight(sd, name)}
+    if bias:
+        p["bias"] = t2j(sd[name + ".bias"])
+    return p
+
+
+def torchlinear(sd, name, bias=True):
+    return {"Dense_0": dense(sd, name, bias)}
+
+
+def it_params(sd, prefix, n_fcs, dot_attn=False):
+    p = {}
+    for i in range(n_fcs):
+        p[f"kernel_w{i}"] = _mlp_weight(sd, f"{prefix}.channel_mlp.fcs.{i}")
+        p[f"kernel_b{i}"] = t2j(sd[f"{prefix}.channel_mlp.fcs.{i}.bias"])
+    if dot_attn:
+        p["q_w"] = _mlp_weight(sd, f"{prefix}.query_proj")
+        p["q_b"] = t2j(sd[f"{prefix}.query_proj.bias"])
+        p["k_w"] = _mlp_weight(sd, f"{prefix}.key_proj")
+        p["k_b"] = t2j(sd[f"{prefix}.key_proj.bias"])
+    return p
+
+
+def geo_params(sd, prefix, method):
+    if method == "statistical":
+        return {
+            "mlp_w0": _mlp_weight(sd, f"{prefix}.mlp.0"),
+            "mlp_b0": t2j(sd[f"{prefix}.mlp.0.bias"]),
+            "mlp_w1": _mlp_weight(sd, f"{prefix}.mlp.2"),
+            "mlp_b1": t2j(sd[f"{prefix}.mlp.2.bias"]),
+        }
+    return {
+        "pn_w0": _mlp_weight(sd, f"{prefix}.pointnet_mlp.0"),
+        "pn_b0": t2j(sd[f"{prefix}.pointnet_mlp.0.bias"]),
+        "pn_w1": _mlp_weight(sd, f"{prefix}.pointnet_mlp.2"),
+        "pn_b1": t2j(sd[f"{prefix}.pointnet_mlp.2.bias"]),
+        "fc_w": _mlp_weight(sd, f"{prefix}.fc.0"),
+        "fc_b": t2j(sd[f"{prefix}.fc.0.bias"]),
+    }
+
+
+def block_params(sd, prefix, skip=False):
+    p = {
+        "RMSNorm_0": {"weight": t2j(sd[f"{prefix}.attn_norm.weight"])},
+        "RMSNorm_1": {"weight": t2j(sd[f"{prefix}.ffn_norm.weight"])},
+        "GroupQueryAttention_0": {
+            "TorchLinear_0": torchlinear(sd, f"{prefix}.attn.q_proj", bias=False),
+            "TorchLinear_1": torchlinear(sd, f"{prefix}.attn.k_proj", bias=False),
+            "TorchLinear_2": torchlinear(sd, f"{prefix}.attn.v_proj", bias=False),
+            "TorchLinear_3": torchlinear(sd, f"{prefix}.attn.o_proj", bias=False),
+        },
+        "FFN_0": {
+            "TorchLinear_0": torchlinear(sd, f"{prefix}.ffn.w1", bias=False),
+            "TorchLinear_1": torchlinear(sd, f"{prefix}.ffn.w3", bias=False),
+            "TorchLinear_2": torchlinear(sd, f"{prefix}.ffn.w2", bias=False),
+        },
+    }
+    if skip:
+        p["TorchLinear_0"] = torchlinear(sd, f"{prefix}.skip_proj")
+    return p
+
+
+def processor_params(sd, num_layers):
+    n_enc = num_layers // 2
+    has_mid = num_layers % 2 == 1
+    p = {
+        "TorchLinear_0": torchlinear(sd, "processor.input_proj"),
+        "TorchLinear_1": torchlinear(sd, "processor.output_proj"),
+    }
+    bi = 0
+    for i in range(n_enc):
+        p[f"TransformerBlock_{bi}"] = block_params(sd, f"processor.encoder_layers.{i}")
+        bi += 1
+    if has_mid:
+        p[f"TransformerBlock_{bi}"] = block_params(sd, "processor.middle_layer")
+        bi += 1
+    for i in range(n_enc):
+        p[f"TransformerBlock_{bi}"] = block_params(
+            sd, f"processor.decoder_layers.{i}", skip=True
+        )
+        bi += 1
+    return p
+
+
+def slots_to_edge_index(slots: EdgeSlots, direction: str) -> "torch.Tensor":
+    """[N,K] slots -> reference edge_index [2,E].
+    encoder: rows (phys_src, latent_query); decoder: (latent_src, phys_query)."""
+    lat = np.asarray(slots.lat_idx)
+    msk = np.asarray(slots.mask)
+    pt, k = np.nonzero(msk)
+    lat_sel = lat[pt, k]
+    if direction == "encoder":
+        ei = np.stack([pt, lat_sel])
+    else:
+        ei = np.stack([lat_sel, pt])
+    return torch.as_tensor(ei, dtype=torch.long)
+
+
+def make_cloud(n=400, seed=0, cin=2):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, cin)).astype(np.float32)
+    return pos, feats
+
+
+GRID = LatentGrid(dims=(4, 4, 4))
+RADIUS = 0.4
+
+
+def build_slots(pos, strategy="bidirectional", k=1, radius=RADIUS):
+    return build_edge_slots(
+        jnp.asarray(pos), GRID, radius, k_neighbors=k, strategy=strategy
+    )
+
+
+# ---------------------------------------------------------------------------
+# IntegralTransform
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("transform_type", ["linear", "nonlinear", "nonlinear_kernelonly"])
+@pytest.mark.parametrize("attn", [None, "cosine", "dot_product"])
+def test_integral_transform_parity(transform_type, attn):
+    C = 8
+    pos, _ = make_cloud(300, seed=1)
+    feats = np.random.default_rng(2).normal(size=(300, C)).astype(np.float32)
+    slots = build_slots(pos)
+    M = GRID.num_tokens
+
+    layers = [6 + (C if transform_type != "linear" else 0), 16, C]
+    ref = ref_it.IntegralTransform(
+        channel_mlp_layers=layers,
+        transform_type=transform_type,
+        use_attn=attn is not None,
+        coord_dim=3,
+        attention_type=attn or "cosine",
+    ).eval()
+    sd = ref.state_dict()
+
+    ours = IntegralTransform(
+        channel_mlp_layers=tuple(layers),
+        transform_type=transform_type,
+        use_attn=attn is not None,
+        coord_dim=3,
+        attention_type=attn or "cosine",
+        grid=GRID,
+    )
+    params = {"params": {}}
+    for i in range(len(layers) - 1):
+        params["params"][f"kernel_w{i}"] = _mlp_weight(sd, f"channel_mlp.fcs.{i}")
+        params["params"][f"kernel_b{i}"] = t2j(sd[f"channel_mlp.fcs.{i}.bias"])
+    if attn == "dot_product":
+        params["params"]["q_w"] = _mlp_weight(sd, "query_proj")
+        params["params"]["q_b"] = t2j(sd["query_proj.bias"])
+        params["params"]["k_w"] = _mlp_weight(sd, "key_proj")
+        params["params"]["k_b"] = t2j(sd["key_proj.bias"])
+
+    lat_pos_t = torch.as_tensor(np.asarray(GRID.positions()))
+    pos_t = torch.as_tensor(pos)
+    feats_t = torch.as_tensor(feats)
+
+    # encoder direction: source = points, query = latent
+    ei = slots_to_edge_index(slots, "encoder")
+    with torch.no_grad():
+        ref_out = ref(y_pos=pos_t, x_pos=lat_pos_t, edge_index=ei, f_y=feats_t)
+    our_out = ours.apply(
+        params,
+        EdgeSlots(slots.lat_idx[None], slots.mask[None]),
+        jnp.asarray(pos)[None],
+        GRID.positions(),
+        jnp.asarray(feats)[None],
+        "encoder",
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(our_out), ref_out.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+    # decoder direction: source = latent, query = points
+    lat_feats = np.random.default_rng(3).normal(size=(M, C)).astype(np.float32)
+    ei_d = slots_to_edge_index(slots, "decoder")
+    with torch.no_grad():
+        ref_out_d = ref(
+            y_pos=lat_pos_t, x_pos=pos_t, edge_index=ei_d,
+            f_y=torch.as_tensor(lat_feats),
+        )
+    our_out_d = ours.apply(
+        params,
+        EdgeSlots(slots.lat_idx[None], slots.mask[None]),
+        jnp.asarray(pos)[None],
+        GRID.positions(),
+        jnp.asarray(lat_feats)[None],
+        "decoder",
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(our_out_d), ref_out_d.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# GeometricEmbedding
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method,pooling", [
+    ("statistical", "max"), ("pointnet", "max"), ("pointnet", "mean"),
+])
+def test_geoembed_parity(method, pooling):
+    C = 8
+    pos, _ = make_cloud(300, seed=4)
+    slots = build_slots(pos)
+
+    ref = ref_ge.GeometricEmbedding(
+        input_dim=3, output_dim=C, method=method, pooling=pooling
+    ).eval()
+    sd = ref.state_dict()
+    ours = GeometricEmbedding(
+        input_dim=3, output_dim=C, method=method, pooling=pooling, grid=GRID
+    )
+    params = {"params": geo_params_fix(sd, method)}
+
+    lat_pos_t = torch.as_tensor(np.asarray(GRID.positions()))
+    pos_t = torch.as_tensor(pos)
+
+    # encoder direction (queries = latent)
+    ei = slots_to_edge_index(slots, "encoder")
+    with torch.no_grad():
+        ref_out = ref(source_pos=pos_t, query_pos=lat_pos_t, edge_index=ei)
+    our_out = ours.apply(
+        params,
+        EdgeSlots(slots.lat_idx[None], slots.mask[None]),
+        jnp.asarray(pos)[None],
+        GRID.positions(),
+        direction="encoder",
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(our_out), ref_out.numpy(), rtol=5e-4, atol=5e-5
+    )
+
+    # decoder direction (queries = the points)
+    ei_d = slots_to_edge_index(slots, "decoder")
+    with torch.no_grad():
+        ref_out_d = ref(source_pos=lat_pos_t, query_pos=pos_t, edge_index=ei_d)
+    our_out_d = ours.apply(
+        params,
+        EdgeSlots(slots.lat_idx[None], slots.mask[None]),
+        jnp.asarray(pos)[None],
+        GRID.positions(),
+        direction="decoder",
+        query_mask=jnp.ones((1, pos.shape[0]), bool),
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(our_out_d), ref_out_d.numpy(), rtol=5e-4, atol=5e-5
+    )
+
+
+def geo_params_fix(sd, method):
+    if method == "statistical":
+        return {
+            "mlp_w0": _mlp_weight(sd, "mlp.0"),
+            "mlp_b0": t2j(sd["mlp.0.bias"]),
+            "mlp_w1": _mlp_weight(sd, "mlp.2"),
+            "mlp_b1": t2j(sd["mlp.2.bias"]),
+        }
+    return {
+        "pn_w0": _mlp_weight(sd, "pointnet_mlp.0"),
+        "pn_b0": t2j(sd["pointnet_mlp.0.bias"]),
+        "pn_w1": _mlp_weight(sd, "pointnet_mlp.2"),
+        "pn_b1": t2j(sd["pointnet_mlp.2.bias"]),
+        "fc_w": _mlp_weight(sd, "fc.0"),
+        "fc_b": t2j(sd["fc.0.bias"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# full GAOT3D
+# ---------------------------------------------------------------------------
+
+
+def make_ref_configs(pos_emb="rope", use_geoembed=True, scales=(1.0,),
+                     use_scale_weights=False, transform="linear",
+                     use_attn=False, attention_type="cosine"):
+    magno = ref_magno.MAGNOConfig(
+        lifting_channels=8,
+        gno_coord_dim=3,
+        gno_radius=RADIUS,
+        neighbor_strategy="bidirectional",
+        use_geoembed=use_geoembed,
+        in_gno_channel_mlp_hidden_layers=[16, 16],
+        out_gno_channel_mlp_hidden_layers=[16],
+        in_gno_transform_type=transform,
+        out_gno_transform_type=transform,
+        projection_channels=16,
+        mlp_type="linear",
+        scales=list(scales),
+        use_scale_weights=use_scale_weights,
+        use_attn=use_attn,
+        attention_type=attention_type,
+        precompute_edges=True,
+    )
+    attn = ref_attn.TransformerConfig(
+        patch_size=2,
+        hidden_size=16,
+        num_layers=3,
+        positional_embedding=pos_emb,
+        attn_config=ref_attn.AttentionConfig(
+            hidden_size=16, num_heads=2, num_kv_heads=2, atten_dropout=0.0,
+            positional_embedding=pos_emb,
+        ),
+        ffn_config=ref_attn.FFNConfig(hidden_size=32),
+    )
+    return magno, attn
+
+
+def make_our_configs(pos_emb="rope", use_geoembed=True, scales=(1.0,),
+                     use_scale_weights=False, transform="linear",
+                     use_attn=False, attention_type="cosine"):
+    magno = MAGNOConfig(
+        lifting_channels=8,
+        gno_coord_dim=3,
+        gno_radius=RADIUS,
+        neighbor_strategy="bidirectional",
+        use_geoembed=use_geoembed,
+        in_gno_channel_mlp_hidden_layers=[16, 16],
+        out_gno_channel_mlp_hidden_layers=[16],
+        in_gno_transform_type=transform,
+        out_gno_transform_type=transform,
+        projection_channels=16,
+        scales=list(scales),
+        use_scale_weights=use_scale_weights,
+        use_attn=use_attn,
+        attention_type=attention_type,
+        fused_encoder=False,  # modular path mirrors the reference 1:1;
+        # fused==modular is asserted separately in test_models.py
+    )
+    attn = TransformerConfig(
+        patch_size=2,
+        hidden_size=16,
+        num_layers=3,
+        positional_embedding=pos_emb,
+        attn_config=AttentionConfig(
+            hidden_size=16, num_heads=2, num_kv_heads=2, atten_dropout=0.0,
+            attention_dtype="float32", attention_impl="naive",
+        ),
+        ffn_config=FFNConfig(hidden_size=32),
+    )
+    return magno, attn
+
+
+def gaot_params_from_ref(sd, num_layers, use_geoembed=True, n_scales=1,
+                         use_scale_weights=False, dot_attn=False,
+                         n_enc_fcs=3, n_dec_fcs=2):
+    enc = {
+        "TorchLinear_0": torchlinear(sd, "encoder.lifting.fcs.0"),
+        "IntegralTransform_0": it_params(sd, "encoder.gno", n_enc_fcs, dot_attn),
+    }
+    if use_geoembed:
+        enc["GeometricEmbedding_0"] = geo_params(sd, "encoder.geoembed", "statistical")
+        enc["TorchLinear_1"] = torchlinear(sd, "encoder.recovery.fcs.0")
+    if use_scale_weights:
+        # creation order quirk: the OUTER Linear(16->S) is constructed before
+        # the inner Linear(3->16) (callee evaluated before its argument)
+        enc["TorchLinear_2"] = torchlinear(sd, "encoder.scale_weighting.2")
+        enc["TorchLinear_3"] = torchlinear(sd, "encoder.scale_weighting.0")
+    dec = {
+        "IntegralTransform_0": it_params(sd, "decoder.gno", n_dec_fcs, dot_attn),
+    }
+    nxt = 0
+    if use_geoembed:
+        dec["GeometricEmbedding_0"] = geo_params(sd, "decoder.geoembed", "statistical")
+        dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.recovery.fcs.0")
+        nxt += 1
+    if use_scale_weights:
+        # scale weighting runs before projection in the decoder; outer Linear
+        # constructed before inner (callee evaluated before its argument)
+        dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.scale_weighting.2")
+        dec[f"TorchLinear_{nxt+1}"] = torchlinear(sd, "decoder.scale_weighting.0")
+        nxt += 2
+    dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.projection.fcs.0")
+    dec[f"TorchLinear_{nxt+1}"] = torchlinear(sd, "decoder.projection.fcs.1")
+    return {
+        "params": {
+            "encoder": enc,
+            "patch_linear": torchlinear(sd, "patch_linear"),
+            "processor": processor_params(sd, num_layers),
+            "decoder": dec,
+        }
+    }
+
+
+def run_both_full_models(pos_emb, use_geoembed=True, scales=(1.0,),
+                         use_scale_weights=False, transform="linear",
+                         use_attn=False, attention_type="cosine",
+                         n=400, seed=7):
+    cin, cout = 2, 1
+    pos, feats = make_cloud(n, seed=seed, cin=cin)
+    r_magno, r_attn = make_ref_configs(pos_emb, use_geoembed, scales,
+                                       use_scale_weights, transform,
+                                       use_attn, attention_type)
+    ref = ref_gaot.GAOT3D(cin, cout, r_magno, r_attn, latent_tokens=(4, 4, 4)).eval()
+    sd = ref.state_dict()
+
+    o_magno, o_attn = make_our_configs(pos_emb, use_geoembed, scales,
+                                       use_scale_weights, transform,
+                                       use_attn, attention_type)
+    ours = init_model(cin, cout, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+    n_enc_fcs = len(r_magno.in_gno_channel_mlp_hidden_layers) + 1
+    n_dec_fcs = len(r_magno.out_gno_channel_mlp_hidden_layers) + 1
+    params = gaot_params_from_ref(
+        sd, 3, use_geoembed, len(scales), use_scale_weights,
+        dot_attn=use_attn and attention_type == "dot_product",
+        n_enc_fcs=n_enc_fcs, n_dec_fcs=n_dec_fcs,
+    )
+
+    # same edge sets on both sides, per scale
+    batch_kw = dict(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+    )
+    enc_slots, dec_slots = [], []
+    for si, s in enumerate(scales):
+        slots = build_slots(pos, radius=RADIUS * s)
+        enc_slots.append(EdgeSlots(slots.lat_idx[None], slots.mask[None]))
+        dec_slots.append(EdgeSlots(slots.lat_idx[None], slots.mask[None]))
+        batch_kw[f"encoder_edge_index_s{si}"] = slots_to_edge_index(slots, "encoder")
+        batch_kw[f"decoder_edge_index_s{si}"] = slots_to_edge_index(slots, "decoder")
+    batch = RefBatch(**batch_kw)
+
+    with torch.no_grad():
+        ref_out = ref(batch)  # [N, cout]
+
+    our_out = ours.apply(
+        params,
+        jnp.asarray(pos)[None],
+        jnp.asarray(feats)[None],
+        jnp.ones((1, n), bool),
+        encoder_slots=enc_slots,
+        decoder_slots=dec_slots,
+    )[0]
+    return np.asarray(our_out), ref_out.numpy(), params, ours, (pos, feats, enc_slots, dec_slots)
+
+
+@pytest.mark.parametrize("pos_emb", ["rope", "absolute"])
+def test_full_gaot3d_parity(pos_emb):
+    ours, ref, *_ = run_both_full_models(pos_emb)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_full_gaot3d_parity_multiscale_scaleweights():
+    ours, ref, *_ = run_both_full_models(
+        "absolute", scales=(0.75, 1.0), use_scale_weights=True
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_full_gaot3d_parity_nonlinear_attn():
+    # nonlinear kernel type requires in_channels == lifting_channels in the
+    # reference (its kernel sizing quirk, magno.py:403-405 vs 546-551)
+    cin = 8
+    pos, feats = make_cloud(400, seed=9, cin=cin)
+    r_magno, r_attn = make_ref_configs(
+        "absolute", transform="nonlinear", use_attn=True, attention_type="dot_product"
+    )
+    ref = ref_gaot.GAOT3D(cin, 1, r_magno, r_attn, latent_tokens=(4, 4, 4)).eval()
+    sd = ref.state_dict()
+    o_magno, o_attn = make_our_configs(
+        "absolute", transform="nonlinear", use_attn=True, attention_type="dot_product"
+    )
+    ours = init_model(cin, 1, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+    params = gaot_params_from_ref(sd, 3, dot_attn=True)
+
+    n = pos.shape[0]
+    slots = build_slots(pos)
+    batch = RefBatch(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+        encoder_edge_index_s0=slots_to_edge_index(slots, "encoder"),
+        decoder_edge_index_s0=slots_to_edge_index(slots, "decoder"),
+    )
+    with torch.no_grad():
+        ref_out = ref(batch)
+    our_out = ours.apply(
+        params, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+        jnp.ones((1, n), bool),
+        encoder_slots=[EdgeSlots(slots.lat_idx[None], slots.mask[None])],
+        decoder_slots=[EdgeSlots(slots.lat_idx[None], slots.mask[None])],
+    )[0]
+    np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# graph-build parity: the reference builds its OWN edges (brute-force pyg
+# stand-ins) and they must equal our stencil builder's edge sets
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["knn", "radius", "bidirectional", "reverse"])
+def test_edge_build_matches_reference(strategy):
+    pos, _ = make_cloud(300, seed=11)
+    pos_t = torch.as_tensor(pos)
+    lat_t = torch.as_tensor(np.asarray(GRID.positions()))
+    bp = torch.zeros(pos.shape[0], dtype=torch.long)
+    bl = torch.zeros(lat_t.shape[0], dtype=torch.long)
+
+    if strategy != "reverse":
+        ref_enc = ref_magno.get_neighbor_strategy(
+            strategy, pos_t, bp, lat_t, bl, RADIUS, k_neighbors=1, is_decoder=False
+        )
+        ours_enc = build_slots(pos, strategy=strategy)
+        got = set(map(tuple, slots_to_edge_index(ours_enc, "encoder").T.tolist()))
+        want = set(map(tuple, ref_enc.T.tolist()))
+        assert got == want, f"encoder {strategy}: {len(got ^ want)} differing edges"
+
+    ref_dec = ref_magno.get_neighbor_strategy(
+        strategy, pos_t, bp, lat_t, bl, RADIUS, k_neighbors=1, is_decoder=True
+    )
+    ours_dec = build_slots(pos, strategy=strategy)
+    got = set(map(tuple, slots_to_edge_index(ours_dec, "decoder").T.tolist()))
+    want = set(map(tuple, ref_dec.T.tolist()))
+    assert got == want, f"decoder {strategy}: {len(got ^ want)} differing edges"
+
+
+# ---------------------------------------------------------------------------
+# one-optimizer-step trajectory parity (AdamW)
+# ---------------------------------------------------------------------------
+
+
+def test_adamw_step_trajectory_parity():
+    import optax
+
+    pos, feats = make_cloud(300, seed=13, cin=2)
+    n = pos.shape[0]
+    rng = np.random.default_rng(14)
+    target = rng.normal(size=(n, 1)).astype(np.float32)
+
+    # --- torch side ---
+    torch.manual_seed(0)
+    r_magno, r_attn = make_ref_configs("absolute")
+    tm = ref_gaot.GAOT3D(2, 1, r_magno, r_attn, latent_tokens=(4, 4, 4))
+    slots = build_slots(pos)
+    batch = RefBatch(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+        encoder_edge_index_s0=slots_to_edge_index(slots, "encoder"),
+        decoder_edge_index_s0=slots_to_edge_index(slots, "decoder"),
+    )
+    tm.train()
+    opt = torch.optim.AdamW(tm.parameters(), lr=1e-3, weight_decay=1e-4,
+                            betas=(0.9, 0.999), eps=1e-8)
+    pred = tm(batch)
+    loss_t = torch.nn.functional.mse_loss(pred, torch.as_tensor(target))
+    # snapshot pre-step weights for the jax side BEFORE stepping
+    jparams = gaot_params_from_ref(
+        {k: v.clone() for k, v in tm.state_dict().items()}, 3
+    )
+    opt.zero_grad()
+    loss_t.backward()
+    opt.step()
+
+    # --- jax side with the SAME init (copied from the torch model) ---
+    o_magno, o_attn = make_our_configs("absolute")
+    jmodel = init_model(2, 1, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-4)
+    opt_state = tx.init(jparams)
+
+    def loss_fn(p):
+        pred = jmodel.apply(
+            p, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+            jnp.ones((1, n), bool),
+            encoder_slots=[EdgeSlots(slots.lat_idx[None], slots.mask[None])],
+            decoder_slots=[EdgeSlots(slots.lat_idx[None], slots.mask[None])],
+        )[0]
+        return jnp.mean((pred - jnp.asarray(target)) ** 2)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(jparams)
+    updates, _ = tx.update(grads, opt_state, jparams)
+    jparams_new = optax.apply_updates(jparams, updates)
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+
+    # compare a representative set of post-step weights
+    sd_new = tm.state_dict()
+    checks = [
+        ("patch_linear.weight", ("patch_linear", "Dense_0", "kernel"), True),
+        ("encoder.lifting.fcs.0.weight", ("encoder", "TorchLinear_0", "Dense_0", "kernel"), True),
+        ("decoder.projection.fcs.1.weight", ("decoder", "TorchLinear_2", "Dense_0", "kernel"), True),
+        ("processor.encoder_layers.0.attn.q_proj.weight",
+         ("processor", "TransformerBlock_0", "GroupQueryAttention_0", "TorchLinear_0", "Dense_0", "kernel"), True),
+    ]
+    for tname, jpath, transpose in checks:
+        tw = sd_new[tname].detach().numpy()
+        if tw.ndim == 3:
+            tw = tw.squeeze(-1)
+        jw = jparams_new["params"]
+        for kpart in jpath:
+            jw = jw[kpart]
+        jw = np.asarray(jw).T if transpose else np.asarray(jw)
+        np.testing.assert_allclose(jw, tw, rtol=5e-3, atol=1e-5)
