@@ -93,6 +93,8 @@ class MAGNOConfig:
     fused_encoder: bool = True  # fuse GNO + statistical geoembed into one
     # chunked scan with one reduction per pass (fused_encoder.py); applies
     # when geoembed is statistical and per-edge attention is off
+    fused_decoder: bool = True  # fuse the decoder GNO + statistical geoembed
+    # into one pass over the edge slots (fused_decoder.py); same applicability
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:
@@ -357,31 +359,52 @@ class MAGNODecoder(nn.Module):
 
         # ONE set of modules shared across scales (parity: reference
         # magno.py:605-690 creates gno/geoembed/recovery once)
-        gno = IntegralTransform(
-            channel_mlp_layers=tuple(gno_layers),
-            transform_type=cfg.out_gno_transform_type,
-            use_attn=cfg.use_attn,
-            coord_dim=cfg.gno_coord_dim,
-            attention_type=cfg.attention_type,
-            edge_chunk_size=cfg.edge_chunk_size,
-            remat=cfg.remat,
-            remat_policy=cfg.remat_policy,
-            segment_impl=cfg.segment_impl,
-            grid=self.grid,
+        use_fused = (
+            cfg.fused_decoder
+            and use_geo
+            and cfg.embedding_method == "statistical"
+            and not cfg.use_attn
         )
-        geoembed = recovery = None
-        if use_geo:
-            geoembed = GeometricEmbedding(
-                input_dim=cfg.gno_coord_dim,
-                output_dim=C,
-                method=cfg.embedding_method,
-                pooling=cfg.pooling,
+        fused = gno = geoembed = recovery = None
+        if use_fused:
+            from .fused_decoder import FusedDecoderScale
+
+            fused = FusedDecoderScale(
+                channels=C,
+                kernel_layers=tuple(gno_layers),
+                transform_type=cfg.out_gno_transform_type,
+                grid=self.grid,
+                coord_dim=cfg.gno_coord_dim,
+                edge_chunk_size=cfg.edge_chunk_size,
+                remat=cfg.remat,
+                remat_policy=cfg.remat_policy,
+            )
+        else:
+            gno = IntegralTransform(
+                channel_mlp_layers=tuple(gno_layers),
+                transform_type=cfg.out_gno_transform_type,
+                use_attn=cfg.use_attn,
+                coord_dim=cfg.gno_coord_dim,
+                attention_type=cfg.attention_type,
                 edge_chunk_size=cfg.edge_chunk_size,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,
                 segment_impl=cfg.segment_impl,
                 grid=self.grid,
             )
+            if use_geo:
+                geoembed = GeometricEmbedding(
+                    input_dim=cfg.gno_coord_dim,
+                    output_dim=C,
+                    method=cfg.embedding_method,
+                    pooling=cfg.pooling,
+                    edge_chunk_size=cfg.edge_chunk_size,
+                    remat=cfg.remat,
+                    remat_policy=cfg.remat_policy,
+                    segment_impl=cfg.segment_impl,
+                    grid=self.grid,
+                )
+        if use_geo:
             recovery = TorchLinear(C)
 
         decoded_scales = []
@@ -407,11 +430,18 @@ class MAGNODecoder(nn.Module):
 
                 slots = compact_slots(slots, cfg.slot_budget)
 
-            decoded = gno(slots, query_pos, latent_pos, latent_feats, direction="decoder")
-
+            if use_fused:
+                decoded, geo = fused(slots, query_pos, latent_feats, latent_pos,
+                                     query_mask=query_mask)
+            else:
+                decoded = gno(slots, query_pos, latent_pos, latent_feats,
+                              direction="decoder")
+                geo = (
+                    geoembed(slots, query_pos, latent_pos, direction="decoder",
+                             query_mask=query_mask)
+                    if use_geo else None
+                )
             if use_geo:
-                geo = geoembed(slots, query_pos, latent_pos, direction="decoder",
-                               query_mask=query_mask)
                 combined = jnp.concatenate([decoded, geo], axis=-1)
                 decoded = recovery(combined)  # recovery MLP
             decoded_scales.append(decoded)

@@ -265,6 +265,44 @@ def test_fused_encoder_matches_modular():
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_mod), atol=3e-5)
 
 
+def test_fused_decoder_matches_modular():
+    """FusedDecoderScale (one pass over the edge slots) must equal the modular
+    IntegralTransform + GeometricEmbedding decoder numerically."""
+    rng = np.random.default_rng(22)
+    pos = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 64)) < 0.9)
+
+    m_fused = tiny_model(use_geoembed=[False, True], fused_decoder=True, edge_chunk_size=16)
+    params = m_fused.init({"params": jax.random.key(0)}, pos, feats, mask)
+    out_fused = m_fused.apply(params, pos, feats, mask)
+
+    m_mod = tiny_model(use_geoembed=[False, True], fused_decoder=False, edge_chunk_size=16)
+    mod_params = m_mod.init({"params": jax.random.key(1)}, pos, feats, mask)
+
+    import flax.traverse_util as tu
+
+    flat_f = tu.flatten_dict(jax.tree.map(np.asarray, params["params"]))
+    flat_m = tu.flatten_dict(jax.tree.map(np.asarray, mod_params["params"]))
+    rename = {}
+    for k in flat_m:
+        ks = list(k)
+        if "decoder" in ks and "IntegralTransform_0" in ks and ks[-1].startswith("kernel_"):
+            src = tuple(p.replace("IntegralTransform_0", "FusedDecoderScale_0") for p in ks)
+        elif "decoder" in ks and "GeometricEmbedding_0" in ks and ks[-1].startswith("mlp_"):
+            src = tuple(
+                p.replace("GeometricEmbedding_0", "FusedDecoderScale_0").replace("mlp_", "geo_")
+                for p in ks
+            )
+        else:
+            src = k
+        assert src in flat_f, (k, src)
+        rename[k] = flat_f[src]
+    mod_params = {"params": tu.unflatten_dict(rename)}
+    out_mod = m_mod.apply(mod_params, pos, feats, mask)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_mod), atol=3e-5)
+
+
 def test_slot_budget_model_equivalence():
     """slot_budget compaction with a sufficient budget must not change model
     outputs at all."""

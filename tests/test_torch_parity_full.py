@@ -395,6 +395,7 @@ def make_our_configs(pos_emb="rope", use_geoembed=True, scales=(1.0,),
         attention_type=attention_type,
         fused_encoder=False,  # modular path mirrors the reference 1:1;
         # fused==modular is asserted separately in test_models.py
+        fused_decoder=False,
     )
     attn = TransformerConfig(
         patch_size=2,
