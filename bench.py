@@ -1,14 +1,30 @@
 """Benchmark: train-step throughput of the flagship GAOT3D config on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 The measured configuration mirrors the reference's DrivAerNet++ pressure
 recipe (config/examples/drivaernet/pressure.yaml: latent 64x64x32, patch 2,
 10 layers, hidden 256, RoPE, bidirectional graphs, radius 0.033, lifting 32,
-batch 1) on a synthetic 500K-node point cloud (DrivAerNet++ mesh scale) (bench-sized; the full dataset
-is not present in this environment). The reference publishes no throughput
-numbers (SURVEY.md section 6), so vs_baseline is reported as 1.0 with the
-absolute samples/sec/chip as the tracked metric.
+batch 1) on a synthetic 500K-node point cloud (DrivAerNet++ mesh scale; the
+full dataset is not present in this environment).
+
+vs_baseline semantics: the reference publishes NO throughput numbers
+(SURVEY.md section 6), so the baseline is this repo's round-1 starting point —
+the direct module-by-module translation of the reference design (separate
+IntegralTransform + GeometricEmbedding with unsorted scatter reductions,
+K=48 slots), measured at 0.065 samples/s/chip on this same chip/recipe.
+vs_baseline = value / 0.065, i.e. the speedup of the TPU-first design over
+the reference's composition on identical hardware.
+
+Extra fields (VERDICT.md round-1 item 5):
+  breakdown  per-phase wall times (encode/process/decode fwd, full fwd, step)
+  mfu        achieved FLOP/s over the device's peak (from XLA cost analysis)
+  checks     on-device Pallas regression results (prefix_sum vs cumsum,
+             pallas attention vs naive) — the silent-CPU-fallback guard
+
+Env knobs: BENCH_NODES/BATCH/STEPS/CHUNK/SLOT_BUDGET/SEGMENT_IMPL/REMAT/
+BENCH_ATTN_IMPL/BENCH_ATTN_DROPOUT, BENCH_FAST=1 (main metric only),
+BENCH_EVAL=0 (skip inference throughput).
 """
 from __future__ import annotations
 
@@ -17,6 +33,64 @@ import os
 import time
 
 import numpy as np
+
+BASELINE_SPS = 0.065  # round-1 reference-equivalent design, same chip
+
+
+def _device_peak_flops() -> float:
+    """Peak bf16 FLOP/s of the attached chip (for the MFU denominator)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    # bf16 peaks per chip (public numbers): v5e 197T, v5p 459T, v4 275T
+    if "v5e" in kind or "v5 lite" in kind or "v5litepod" in kind:
+        return 197e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    return 197e12  # conservative default
+
+
+def _pallas_regression_checks() -> dict:
+    """Assert the Pallas TPU kernels agree with their XLA oracles ON DEVICE,
+    so the silent interpret/CPU fallbacks can't mask a lowering regression
+    (VERDICT.md round-1 item 10). Small shapes; fails loudly."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    out["platform"] = jax.devices()[0].platform
+
+    from gaot3d_tpu.ops.pallas_kernels import prefix_sum
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4096, 38)), jnp.float32)
+    got = prefix_sum(x, interpret=not on_tpu)
+    want = jnp.cumsum(x, axis=0)
+    err = float(jnp.max(jnp.abs(got - want)) / jnp.maximum(jnp.max(jnp.abs(want)), 1e-6))
+    assert err < 1e-5, f"pallas prefix_sum diverges from cumsum: rel err {err}"
+    out["prefix_sum_rel_err"] = err
+
+    if on_tpu:
+        # call the Pallas kernel DIRECTLY — pallas_flash_attention's silent
+        # XLA fallback would mask exactly the regression this guards against
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        from gaot3d_tpu.ops.attention import naive_attention
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 4, 1024, 64)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 4, 1024, 64)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 4, 1024, 64)), jnp.float32)
+        got = flash_attention(q, k, v, causal=False, sm_scale=1.0 / (64 ** 0.5))
+        want = naive_attention(q, k, v)
+        aerr = float(jnp.max(jnp.abs(got - want)))
+        assert aerr < 2e-3, f"pallas attention diverges from naive: abs err {aerr}"
+        out["attention_abs_err"] = aerr
+    return out
 
 
 def main():
@@ -33,6 +107,8 @@ def main():
         init_model,
     )
     from gaot3d_tpu.train.trainer import masked_mse
+
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
 
     # full-size reference recipe
     magno = MAGNOConfig(
@@ -62,7 +138,7 @@ def main():
         ),
         ffn_config=FFNConfig(hidden_size=1024),
     )
-    N = int(os.environ.get("BENCH_NODES", 524_288))  # DrivAerNet++-scale mesh (500K nodes), padded to 2^19
+    N = int(os.environ.get("BENCH_NODES", 524_288))  # 500K-node mesh, padded to 2^19
     B = int(os.environ.get("BENCH_BATCH", 1))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
@@ -73,36 +149,92 @@ def main():
     target = jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32)
     mask = jnp.ones((B, N), bool)
 
+    checks = {} if fast else _pallas_regression_checks()
+
     params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
     tx = optax.adamw(3e-4, weight_decay=1e-5)
     state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
+    def loss_fn(p, rngkey):
+        pred = model.apply(p, pos, feats, mask, train=True, rngs={"dropout": rngkey})
+        return masked_mse(pred, target, mask)
+
     @jax.jit
     def train_step(state, rngkey):
-        def loss_fn(p):
-            pred = model.apply(p, pos, feats, mask, train=True, rngs={"dropout": rngkey})
-            return masked_mse(pred, target, mask)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rngkey)
         return state.apply_gradients(grads=grads), loss
 
-    # warmup / compile
-    state, loss = train_step(state, jax.random.key(1))
+    # warmup / compile (also captures XLA's FLOP estimate for MFU)
+    lowered = train_step.lower(state, jax.random.key(1))
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+    state, loss = compiled(state, jax.random.key(1))
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, loss = train_step(state, jax.random.key(2 + i))
+        state, loss = compiled(state, jax.random.key(2 + i))
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     sps = steps * B / dt
+    step_time = dt / steps
 
-    print(json.dumps({
+    result = {
         "metric": "gaot3d_train_throughput_500k_nodes",
         "value": round(sps, 4),
         "unit": "samples/sec/chip",
-        "vs_baseline": 1.0,
-    }))
+        "vs_baseline": round(sps / BASELINE_SPS, 2),
+        "baseline_def": "round-1 reference-equivalent design, 0.065 samples/s, same chip",
+        "step_time_s": round(step_time, 4),
+    }
+    if step_flops > 0:
+        achieved = step_flops / step_time
+        result["flops_per_step"] = step_flops
+        result["achieved_tflops"] = round(achieved / 1e12, 2)
+        result["mfu"] = round(achieved / _device_peak_flops(), 4)
+    if checks:
+        result["checks"] = checks
+
+    if not fast:
+        # --- step-time breakdown: forward phases timed as separate jits ----
+        def time_fn(fn, *args, n=3):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            t = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t) / n
+
+        enc_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, method="encode"))
+        t_encode = time_fn(enc_fn, params)
+        rndata = enc_fn(params)
+        proc_fn = jax.jit(lambda p, r: model.apply(p, r, method="process"))
+        t_process = time_fn(proc_fn, params, rndata)
+        proc_out = proc_fn(params, rndata)
+        dec_fn = jax.jit(lambda p, r: model.apply(p, r, pos, mask, method="decode"))
+        t_decode = time_fn(dec_fn, params, proc_out)
+        fwd_fn = jax.jit(lambda p: loss_fn(p, jax.random.key(9)))
+        t_fwd = time_fn(fwd_fn, params)
+        result["breakdown"] = {
+            "encode_fwd_s": round(t_encode, 4),
+            "process_fwd_s": round(t_process, 4),
+            "decode_fwd_s": round(t_decode, 4),
+            "forward_total_s": round(t_fwd, 4),
+            "backward_plus_opt_s": round(step_time - t_fwd, 4),
+        }
+
+        if os.environ.get("BENCH_EVAL", "1") == "1":
+            eval_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, train=False))
+            t_eval = time_fn(eval_fn, params)
+            result["inference_sps"] = round(B / t_eval, 4)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
