@@ -125,6 +125,7 @@ def main():
         remat=os.environ.get("BENCH_REMAT", "1") == "1",
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
+        kernel_dtype=os.environ.get("BENCH_KERNEL_DTYPE", "float32"),
     )
     attn = TransformerConfig(
         patch_size=2,

@@ -42,6 +42,7 @@ class FusedDecoderScale(nn.Module):
     edge_chunk_size: Optional[int] = None
     remat: bool = True
     remat_policy: str = "nothing"
+    kernel_dtype: str = "float32"  # 'bfloat16': kernel MLP matmuls in bf16
 
     def setup(self):
         sizes = list(self.kernel_layers)
@@ -62,12 +63,9 @@ class FusedDecoderScale(nn.Module):
                                  (self.channels,))
 
     def _kernel_mlp(self, x):
-        n = len(self.kernel_ws)
-        for i, (w, b) in enumerate(zip(self.kernel_ws, self.kernel_bs)):
-            x = x @ w + b
-            if i < n - 1:
-                x = jax.nn.gelu(x, approximate=False)
-        return x
+        from .mlp import kernel_mlp_apply
+
+        return kernel_mlp_apply(x, self.kernel_ws, self.kernel_bs, self.kernel_dtype)
 
     def _chunk(self, latent_feats, pos_c, lat_idx_c, mask_c):
         """One node chunk -> (gno mean [B,n,C], raw geo feats [B,n,3+2D])."""

@@ -45,6 +45,7 @@ class FusedEncoderScale(nn.Module):
     remat_policy: str = "nothing"
     segment_impl: str = "scatter"  # fused: 'scatter' wins (1 reduction/chunk)
     use_gno: bool = True
+    kernel_dtype: str = "float32"  # 'bfloat16': kernel MLP matmuls in bf16
 
     def setup(self):
         if self.use_gno:
@@ -68,12 +69,9 @@ class FusedEncoderScale(nn.Module):
 
     # -- pure chunk math --------------------------------------------------------
     def _kernel_mlp(self, x):
-        n = len(self.kernel_ws)
-        for i, (w, b) in enumerate(zip(self.kernel_ws, self.kernel_bs)):
-            x = x @ w + b
-            if i < n - 1:
-                x = jax.nn.gelu(x, approximate=False)
-        return x
+        from .mlp import kernel_mlp_apply
+
+        return kernel_mlp_apply(x, self.kernel_ws, self.kernel_bs, self.kernel_dtype)
 
     def _reduce(self, payload, seg, msk, M):
         """[B, E, P] -> [B, M, P]; one reduction."""

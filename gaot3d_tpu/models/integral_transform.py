@@ -99,6 +99,8 @@ class IntegralTransform(nn.Module):
     segment_impl: str = "sort"  # 'sort' (cumsum folds, TPU fast path) | 'scatter'
     grid: Optional[LatentGrid] = None  # when set, latent token coordinates are
     # computed arithmetically from the slot index (no per-edge HBM gather)
+    kernel_dtype: str = "float32"  # 'bfloat16' runs the per-edge kernel MLP
+    # matmuls on the MXU in bf16 (f32 accumulation)
 
     def setup(self):
         sizes = list(self.channel_mlp_layers)
@@ -126,12 +128,9 @@ class IntegralTransform(nn.Module):
 
     # -- pure per-edge math (closes over params; jax.checkpoint-able) --------
     def _kernel_mlp(self, x):
-        n = len(self.kernel_ws)
-        for i, (w, b) in enumerate(zip(self.kernel_ws, self.kernel_bs)):
-            x = x @ w + b
-            if i < n - 1:
-                x = _gelu(x)
-        return x
+        from .mlp import kernel_mlp_apply
+
+        return kernel_mlp_apply(x, self.kernel_ws, self.kernel_bs, self.kernel_dtype)
 
     def _edge_values(self, src_pos_e, dst_pos_e, src_feat_e):
         """kernel(concat coords [+ feats]) [* feats] (reference lines 145-157)."""

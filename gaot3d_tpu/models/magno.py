@@ -95,6 +95,8 @@ class MAGNOConfig:
     # when geoembed is statistical and per-edge attention is off
     fused_decoder: bool = True  # fuse the decoder GNO + statistical geoembed
     # into one pass over the edge slots (fused_decoder.py); same applicability
+    kernel_dtype: str = "float32"  # 'bfloat16' runs the per-edge kernel MLP
+    # matmuls in bf16 with f32 accumulation (2x MXU, half HBM on the hot path)
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:
@@ -228,6 +230,7 @@ class MAGNOEncoder(nn.Module):
                 remat_policy=cfg.remat_policy,
                 segment_impl=cfg.segment_impl,
                 use_gno=cfg.use_gno,
+                kernel_dtype=cfg.kernel_dtype,
             )
         else:
             if cfg.use_gno:
@@ -242,6 +245,7 @@ class MAGNOEncoder(nn.Module):
                     remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,
+                    kernel_dtype=cfg.kernel_dtype,
                 )
             if use_geo:
                 geoembed = GeometricEmbedding(
@@ -378,6 +382,7 @@ class MAGNODecoder(nn.Module):
                 edge_chunk_size=cfg.edge_chunk_size,
                 remat=cfg.remat,
                 remat_policy=cfg.remat_policy,
+                kernel_dtype=cfg.kernel_dtype,
             )
         else:
             gno = IntegralTransform(
@@ -391,6 +396,7 @@ class MAGNODecoder(nn.Module):
                 remat_policy=cfg.remat_policy,
                 segment_impl=cfg.segment_impl,
                 grid=self.grid,
+                kernel_dtype=cfg.kernel_dtype,
             )
             if use_geo:
                 geoembed = GeometricEmbedding(

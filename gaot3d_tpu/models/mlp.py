@@ -47,6 +47,30 @@ class TorchLinear(nn.Module):
         return y
 
 
+def kernel_mlp_apply(x, ws, bs, compute_dtype="float32"):
+    """Shared edge-kernel MLP body (explicit params, checkpoint-able).
+
+    compute_dtype='bfloat16' runs the matmuls on the MXU in bf16 with f32
+    accumulation (preferred_element_type) — 2x MXU throughput and half the
+    HBM traffic on the per-edge hot path; biases/activations stay f32.
+    """
+    import jax
+
+    bf16 = compute_dtype in ("bfloat16", jnp.bfloat16)
+    n = len(ws)
+    for i, (w, b) in enumerate(zip(ws, bs)):
+        if bf16:
+            x = jnp.dot(
+                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) + b
+        else:
+            x = x @ w + b
+        if i < n - 1:
+            x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
 def activation_fn(name: str) -> Callable:
     """(reference: mlp.py:27-35). 'gelu' is the exact (erf) form — torch
     F.gelu's default — not jax.nn.gelu's tanh approximation."""

@@ -303,6 +303,24 @@ def test_fused_decoder_matches_modular():
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_mod), atol=3e-5)
 
 
+def test_kernel_dtype_bf16_close_to_f32():
+    """kernel_dtype='bfloat16' (MXU fast path for the per-edge kernel MLP)
+    must track the f32 model within bf16 rounding."""
+    rng = np.random.default_rng(23)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    m32 = tiny_model(kernel_dtype="float32")
+    m16 = tiny_model(kernel_dtype="bfloat16")
+    params = m32.init({"params": jax.random.key(0)}, pos, feats, mask)
+    out32 = np.asarray(m32.apply(params, pos, feats, mask))
+    out16 = np.asarray(m16.apply(params, pos, feats, mask))
+    scale = np.abs(out32).mean()
+    assert np.abs(out16 - out32).max() < 0.05 * max(scale, 1e-3), (
+        np.abs(out16 - out32).max(), scale
+    )
+
+
 def test_slot_budget_model_equivalence():
     """slot_budget compaction with a sufficient budget must not change model
     outputs at all."""
