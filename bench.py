@@ -74,6 +74,23 @@ def _pallas_regression_checks() -> dict:
     assert err < 1e-5, f"pallas prefix_sum diverges from cumsum: rel err {err}"
     out["prefix_sum_rel_err"] = err
 
+    # tile segment-sum: Pallas MXU one-hot kernel vs the scatter oracle
+    from gaot3d_tpu.ops.pallas_kernels import tile_segment_sum
+    from gaot3d_tpu.ops.segment import make_segment_fold, segment_sum
+
+    rngs = np.random.default_rng(2)
+    E, S, C = 8192, 1500, 38
+    data = jnp.asarray(rngs.normal(size=(E, C)), jnp.float32)
+    seg = jnp.asarray(np.sort(rngs.integers(0, S, size=E)).astype(np.int32))
+    msk = jnp.asarray(rngs.random(E) < 0.9)
+    ctx = make_segment_fold(seg, S, msk)
+    got = tile_segment_sum(data[ctx.perm], ctx.sorted_seg, ctx.starts,
+                           interpret=not on_tpu)
+    want = segment_sum(data, seg, S, msk)
+    terr = float(jnp.max(jnp.abs(got - want)))
+    assert terr < 1e-3, f"pallas tile_segment_sum diverges from scatter: abs err {terr}"
+    out["tile_segment_sum_abs_err"] = terr
+
     if on_tpu:
         # call the Pallas kernel DIRECTLY — pallas_flash_attention's silent
         # XLA fallback would mask exactly the regression this guards against

@@ -73,14 +73,31 @@ class FusedEncoderScale(nn.Module):
 
         return kernel_mlp_apply(x, self.kernel_ws, self.kernel_bs, self.kernel_dtype)
 
-    def _reduce(self, payload, seg, msk, M):
+    def _reduce(self, payload, seg, msk, M, ctx=None):
         """[B, E, P] -> [B, M, P]; one reduction."""
+        if self.segment_impl == "tile":
+            # Pallas MXU tile kernel. Python loop over the (static, small) batch
+            # instead of vmap: the kernel's overflow guard is a lax.cond, which
+            # vmap would convert to a both-branches select. `ctx` (per-batch
+            # SegmentFoldCtx, hoisted out of the remat region by __call__) is
+            # shared by pass 1 and pass 2 and saved — not recomputed — in bwd.
+            from ..ops.segment import fold_sum_tile
+
+            outs = []
+            for b in range(payload.shape[0]):
+                c = (
+                    make_segment_fold(seg[b], M, msk[b])
+                    if ctx is None
+                    else jax.tree.map(lambda x: x[b], ctx)
+                )
+                outs.append(fold_sum_tile(c, payload[b]))
+            return jnp.stack(outs)
         if self.segment_impl == "sort":
             folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
             return jax.vmap(fold_sum)(folds, payload)
         return jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(payload, seg, msk)
 
-    def _pass1_chunk(self, M, feats_c, pos_c, lat_idx_c, mask_c):
+    def _pass1_chunk(self, M, feats_c, pos_c, lat_idx_c, mask_c, ctx=None):
         """ONE fused payload: [gno values (C) | 1 | dist | dist^2 | x (3)]."""
         B, n, K = mask_c.shape
         C = self.lifting_channels
@@ -105,9 +122,9 @@ class FusedEncoderScale(nn.Module):
         payload = jnp.concatenate(parts, axis=-1)
         seg = lat_idx_c.reshape(B, n * K)
         msk = mask_c.reshape(B, n * K)
-        return self._reduce(payload.reshape(B, n * K, -1), seg, msk, M)
+        return self._reduce(payload.reshape(B, n * K, -1), seg, msk, M, ctx)
 
-    def _pass2_chunk(self, M, centroid, pos_c, lat_idx_c, mask_c):
+    def _pass2_chunk(self, M, centroid, pos_c, lat_idx_c, mask_c, ctx=None):
         """Centered covariance partial sums [B, M, 9]."""
         B, n, K = mask_c.shape
         D = self.coord_dim
@@ -117,7 +134,7 @@ class FusedEncoderScale(nn.Module):
         cc = (centered[..., :, None] * centered[..., None, :]).reshape(B, n, K, D * D)
         seg = lat_idx_c.reshape(B, n * K)
         msk = mask_c.reshape(B, n * K)
-        return self._reduce(cc.reshape(B, n * K, -1), seg, msk, M)
+        return self._reduce(cc.reshape(B, n * K, -1), seg, msk, M, ctx)
 
     def __call__(
         self,
@@ -139,22 +156,37 @@ class FusedEncoderScale(nn.Module):
 
         body1 = maybe_ckpt(partial(self._pass1_chunk, M))
         if chunk == N:
-            acc = body1(lifted_feats, point_pos, slots.lat_idx, slots.mask)
+            acc = body1(lifted_feats, point_pos, slots.lat_idx, slots.mask, None)
+            ctxs = None
         else:
-            pos_c, _ = reshape_chunks(point_pos, chunk)
+            pos_c, nc = reshape_chunks(point_pos, chunk)
             idx_c, _ = reshape_chunks(slots.lat_idx, chunk)
             msk_c, _ = reshape_chunks(slots.mask, chunk)
             feat_c = reshape_chunks(lifted_feats, chunk)[0] if lifted_feats is not None else None
 
+            # 'tile': sort each chunk's edges by destination ONCE, outside the
+            # remat region — pass 1 and pass 2 share the ctx, and backward
+            # replays the fold from the saved scan inputs instead of re-sorting
+            ctxs = None
+            if self.segment_impl == "tile":
+                seg_flat = idx_c.reshape(nc, B, chunk * K)
+                mfl = msk_c.reshape(nc, B, chunk * K)
+                ctxs = jax.vmap(jax.vmap(lambda g, m: make_segment_fold(g, M, m)))(seg_flat, mfl)
+
             def scan1(carry, xs):
+                ctx = None
+                if ctxs is not None:
+                    *xs, ctx = xs
                 if lifted_feats is not None:
                     f, p, i, m = xs
                 else:
                     p, i, m = xs
                     f = None
-                return carry + body1(f, p, i, m), None
+                return carry + body1(f, p, i, m, ctx), None
 
             xs = (feat_c, pos_c, idx_c, msk_c) if lifted_feats is not None else (pos_c, idx_c, msk_c)
+            if ctxs is not None:
+                xs = xs + (ctxs,)
             acc, _ = jax.lax.scan(scan1, jnp.zeros((B, M, P)), xs)
 
         off = C if self.use_gno else 0
@@ -168,12 +200,17 @@ class FusedEncoderScale(nn.Module):
         centroid = x_sum / n_safe[..., None]
         body2 = maybe_ckpt(partial(self._pass2_chunk, M, centroid))
         if chunk == N:
-            cov_sum = body2(point_pos, slots.lat_idx, slots.mask)
+            cov_sum = body2(point_pos, slots.lat_idx, slots.mask, None)
         else:
             def scan2(carry, xs):
                 return carry + body2(*xs), None
 
-            cov_sum, _ = jax.lax.scan(scan2, jnp.zeros((B, M, D * D)), (pos_c, idx_c, msk_c))
+            xs2 = (pos_c, idx_c, msk_c)
+            if ctxs is not None:
+                xs2 = xs2 + (ctxs,)
+            else:
+                xs2 = xs2 + (None,)
+            cov_sum, _ = jax.lax.scan(scan2, jnp.zeros((B, M, D * D)), xs2)
 
         # finalize statistical features (parity: geoembed.py:125-182)
         d_avg = d_sum / n_safe

@@ -89,7 +89,8 @@ class MAGNOConfig:
     # sample at trainer init.
     segment_impl: str = "scatter"  # encoder segment reductions: 'scatter'
     # (jax.ops.segment_sum; with the fused encoder the cost is ONE reduction
-    # per chunk and scatter wins) | 'sort' (edge sort + cumsum folds)
+    # per chunk and scatter wins) | 'sort' (edge sort + cumsum folds) |
+    # 'tile' (sort + Pallas MXU one-hot tile kernel, ops/pallas_kernels.py)
     fused_encoder: bool = True  # fuse GNO + statistical geoembed into one
     # chunked scan with one reduction per pass (fused_encoder.py); applies
     # when geoembed is statistical and per-edge attention is off

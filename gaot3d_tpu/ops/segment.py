@@ -174,6 +174,46 @@ def fold_sum(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
     return _fold_sum_p(data, ctx.perm, ctx.starts, ctx.valid, ctx.key)
 
 
+@jax.custom_vjp
+def _fold_sum_tile_p(data, perm, sorted_seg, starts, key):
+    from .pallas_kernels import tile_segment_sum
+
+    sd = jnp.take(data, perm, axis=0)
+    squeeze = sd.ndim == 1
+    if squeeze:
+        sd = sd[:, None]
+    out = tile_segment_sum(sd, sorted_seg, starts)
+    if squeeze:
+        out = out[:, 0]
+    return out.astype(data.dtype)
+
+
+def _fold_sum_tile_fwd(data, perm, sorted_seg, starts, key):
+    out = _fold_sum_tile_p(data, perm, sorted_seg, starts, key)
+    return out, (perm, sorted_seg, starts, key)
+
+
+def _fold_sum_tile_bwd(res, ct):
+    # identical backward to _fold_sum_p: pure gather ct[key], never a scatter
+    perm, sorted_seg, starts, key = res
+    S = starts.shape[0] - 1
+    safe = jnp.clip(key, 0, S - 1)
+    d = ct[safe]
+    kv = key < S
+    d = jnp.where(kv[:, None] if d.ndim == 2 else kv, d, 0)
+    return (d, _float0(perm), _float0(sorted_seg), _float0(starts), _float0(key))
+
+
+_fold_sum_tile_p.defvjp(_fold_sum_tile_fwd, _fold_sum_tile_bwd)
+
+
+def fold_sum_tile(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
+    """fold_sum via the Pallas tile segment-sum (MXU one-hot matmul over
+    destination-sorted blocks; ops/pallas_kernels.py). Same contract and
+    backward as fold_sum; on non-TPU backends it degrades to the cumsum fold."""
+    return _fold_sum_tile_p(data, ctx.perm, ctx.sorted_seg, ctx.starts, ctx.key)
+
+
 def fold_count(ctx: SegmentFoldCtx, dtype=jnp.float32) -> jnp.ndarray:
     return (ctx.starts[1:] - ctx.starts[:-1]).astype(dtype)
 
@@ -230,7 +270,9 @@ def _gather_table_fwd(table, idx, mask):
 def _gather_table_bwd(res, ct):
     idx, mask, S = res
     ctx = make_segment_fold(idx, S, mask)
-    d_table = fold_sum(ctx, ct)
+    # tile kernel on TPU (MXU one-hot matmul over sorted blocks); identical
+    # cumsum fold elsewhere — either way, never a scatter
+    d_table = fold_sum_tile(ctx, ct)
     return (d_table, _float0(idx), _float0(mask))
 
 

@@ -423,3 +423,24 @@ def test_sampling_strategies_through_model():
         out = m.apply(p, pos, feats, mask, train=True,
                       rngs={"edges": jax.random.key(1), "dropout": jax.random.key(2)})
         assert bool(jnp.isfinite(out).all()), kw
+
+
+def test_fused_encoder_tile_impl_matches_scatter():
+    """segment_impl='tile' (fold_sum_tile; on CPU degrades to the cumsum fold,
+    on TPU runs the Pallas MXU tile kernel) == 'scatter' through the model."""
+    rng = np.random.default_rng(23)
+    pos = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 64)) < 0.9)
+    m_sc = tiny_model(use_geoembed=[True, False], fused_encoder=True,
+                      edge_chunk_size=16, segment_impl="scatter")
+    m_ti = tiny_model(use_geoembed=[True, False], fused_encoder=True,
+                      edge_chunk_size=16, segment_impl="tile")
+    params = m_sc.init({"params": jax.random.key(0)}, pos, feats, mask)
+    out_sc = m_sc.apply(params, pos, feats, mask)
+    out_ti = m_ti.apply(params, pos, feats, mask)
+    np.testing.assert_allclose(np.asarray(out_ti), np.asarray(out_sc), atol=3e-5)
+    g_sc = jax.grad(lambda p: jnp.sum(m_sc.apply(p, pos, feats, mask) ** 2))(params)
+    g_ti = jax.grad(lambda p: jnp.sum(m_ti.apply(p, pos, feats, mask) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_sc), jax.tree.leaves(g_ti)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
