@@ -107,6 +107,51 @@ def _pallas_regression_checks() -> dict:
         aerr = float(jnp.max(jnp.abs(got - want)))
         assert aerr < 2e-3, f"pallas attention diverges from naive: abs err {aerr}"
         out["attention_abs_err"] = aerr
+
+        # dropout flash kernel: (1) rate-0 forward vs naive, (2) the RNG
+        # variant must be BIT-IDENTICAL to the exported-bits variant in both
+        # forward and backward (the mask-replay property the custom bwd
+        # depends on), (3) grads match a dense oracle sharing the same mask
+        from gaot3d_tpu.ops.pallas_attention import (
+            export_dropout_bits,
+            flash_attention_dropout,
+        )
+
+        bq, bk = 256, 256
+        got0 = flash_attention_dropout(q, k, v, block_q=bq, block_k=bk)
+        derr = float(jnp.max(jnp.abs(got0 - want)))
+        assert derr < 2e-3, f"dropout kernel rate-0 diverges from naive: {derr}"
+        key = jax.random.key(7)
+        bits = export_dropout_bits(key, 4, 1024 // bq, 1024 // bk, bq, bk)
+        do = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.vdot(fn(q, k, v), do)
+
+        f_rng = loss(lambda q, k, v: flash_attention_dropout(
+            q, k, v, key, 0.1, block_q=bq, block_k=bk))
+        f_bits = loss(lambda q, k, v: flash_attention_dropout(
+            q, k, v, dropout_rate=0.1, dropout_bits=bits, block_q=bq, block_k=bk))
+        g_rng = jax.grad(f_rng, argnums=(0, 1, 2))(q, k, v)
+        g_bits = jax.grad(f_bits, argnums=(0, 1, 2))(q, k, v)
+        replay = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(g_rng, g_bits))
+        assert replay == 0.0, f"dropout mask fwd/bwd replay mismatch: {replay}"
+        keep = (np.asarray(bits) >= np.uint32(0.1 * 4294967295.0))
+        keep = jnp.asarray(keep.transpose(0, 1, 3, 2, 4).reshape(1, 4, 1024, 1024))
+
+        def f_oracle(q, k, v):
+            w = jax.nn.softmax(
+                jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(64)), axis=-1)
+            w = jnp.where(keep, w / 0.9, 0.0)
+            return jnp.vdot(jnp.einsum("bhqk,bhkd->bhqd", w, v), do)
+
+        g_ora = jax.grad(f_oracle, argnums=(0, 1, 2))(q, k, v)
+        grel = max(
+            float(jnp.max(jnp.abs(a - b)) / jnp.maximum(jnp.max(jnp.abs(b)), 1e-6))
+            for a, b in zip(g_rng, g_ora)
+        )
+        assert grel < 2e-2, f"dropout kernel grads diverge from oracle: rel {grel}"
+        out["dropout_attn_grad_rel_err"] = grel
     return out
 
 

@@ -1,0 +1,500 @@
+"""Pallas TPU flash attention WITH attention-probability dropout (fwd + bwd).
+
+The reference trains with torch F.scaled_dot_product_attention(dropout_p=0.1)
+(src/model/layers/attn.py:122-126). The XLA online-softmax recurrence
+(ops/attention.py flash_attention_xla) is the only dropout-capable path we had
+on TPU, and it materializes every [S, chunk] logits block in HBM — measured
+~0.6s forward (and ~3x that through the remat backward) for the 10-layer
+16K-token processor of the 500K-node recipe, ~40x off compute bound. This
+kernel keeps the logits tiles in VMEM, draws the dropout mask from the TPU
+core's own PRNG (zero HBM mask traffic), and the custom backward regenerates
+the *identical* mask by reseeding with the same (seed, head, q-block,
+kv-block) counters.
+
+Math, with P = softmax(scale * Q K^T) and M = keep/(1-r):
+    O_i     = sum_j P_ij M_ij V_j
+    delta_i = dO_i . O_i            (= sum_k P_ik M_ik dO_i.V_k)
+    dS_ij   = P_ij (M_ij (dO_i . V_j) - delta_i)
+    dQ = scale dS K     dK = scale dS^T Q     dV = (P M)^T dO
+so the dropout backward needs exactly the same residuals (out, lse) as
+standard flash attention — only the in-kernel mask regeneration differs.
+
+The softmax denominator uses pre-dropout probabilities (torch semantics:
+dropout is applied to the normalized attention weights).
+
+Testing: pltpu.prng_seed has no CPU/interpret lowering, so the kernels also
+accept a precomputed uint32 bits tensor ('bits' variant) which interpret-mode
+tests drive against a dense oracle sharing the same mask; the RNG variant is
+validated on the real chip by bench.py's regression checks (determinism,
+rate, vjp dot-test).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bits_to_keep(bits, rate: float):
+    # keep iff bits >= floor(rate * 2^32); matches ops/attention._fast_keep_mask
+    thresh = np.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
+    return bits >= thresh
+
+
+def _kv_col_mask(ik, block_k, seq_k):
+    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    return col < seq_k
+
+
+def _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k):
+    """Seed the in-core PRNG for one (batch*head, q-block, kv-block) cell.
+
+    libtpu caps prng_seed at 2 words, so the block counter is mixed into the
+    key words here: an odd multiplier is a bijection mod 2^32, so distinct
+    blocks always get distinct first words. Forward and both backward kernels
+    call this with the same coordinates -> identical mask."""
+    ctr = (bh * n_q + iq) * n_k + ik
+    h = ctr * jnp.int32(-1640531527)  # 0x9E3779B9, odd => bijective
+    pltpu.prng_seed(seed_ref[0] ^ h, seed_ref[1] + ctr)
+
+
+def _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, *refs):
+        if use_rng:
+            q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+            bits_ref = None
+        else:
+            bits_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        bh = pl.program_id(0)
+        iq = pl.program_id(1)
+        ik = pl.program_id(2)
+
+        @pl.when(ik == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if kv_tail:
+            s = jnp.where(_kv_col_mask(ik, block_k, seq_k), s, -jnp.inf)
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        if kv_tail:
+            p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * alpha + p.sum(axis=1, keepdims=True)
+        if rate > 0.0:
+            if use_rng:
+                _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
+                )
+            else:
+                bits = bits_ref[0, 0, 0]
+            pd = jnp.where(_bits_to_keep(bits, rate), p * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            pd = p
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(ik == n_k - 1)
+        def _finish():
+            l = jnp.maximum(l_scr[...], 1e-30)
+            o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+            lse = m_scr[...] + jnp.log(l)  # [bq, 1]
+            lse_ref[...] = lse.reshape(1, block_q, 1)
+
+    return kernel
+
+
+def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, *refs):
+        if use_rng:
+            q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
+            bits_ref = None
+        else:
+            bits_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
+        bh = pl.program_id(0)
+        iq = pl.program_id(1)
+        ik = pl.program_id(2)
+
+        @pl.when(ik == 0)
+        def _init():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
+
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0]
+        delta = dl_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)
+        if kv_tail:
+            p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
+        dpv = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            if use_rng:
+                _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
+                )
+            else:
+                bits = bits_ref[0, 0, 0]
+            dpv = jnp.where(_bits_to_keep(bits, rate), dpv * (1.0 / (1.0 - rate)), 0.0)
+        ds = p * (dpv - delta)
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        @pl.when(ik == n_k - 1)
+        def _finish():
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, *refs):
+        if use_rng:
+            q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
+            bits_ref = None
+        else:
+            (bits_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+             dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        bh = pl.program_id(0)
+        ik = pl.program_id(1)  # kv block is the OUTER loop here
+        iq = pl.program_id(2)
+
+        @pl.when(iq == 0)
+        def _init():
+            dk_scr[...] = jnp.zeros_like(dk_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
+
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0]
+        delta = dl_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)
+        if kv_tail:
+            p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
+        dpv = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            if use_rng:
+                # same (seed, bh, iq, ik) counters as the forward -> same mask
+                _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
+                )
+            else:
+                bits = bits_ref[0, 0, 0]
+            keep = _bits_to_keep(bits, rate)
+            inv = 1.0 / (1.0 - rate)
+            pm = jnp.where(keep, p * inv, 0.0)
+            dpv = jnp.where(keep, dpv * inv, 0.0)
+        else:
+            pm = p
+        dv_scr[...] += jax.lax.dot_general(
+            pm.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dpv - delta)
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        @pl.when(iq == n_q - 1)
+        def _finish():
+            dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+            dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _pad_to(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    BH = B * H
+    use_rng = bits is None
+    qp = _pad_to(q.reshape(BH, S, D), block_q, 1)
+    kp = _pad_to(k.reshape(BH, Skv, D), block_k, 1)
+    vp = _pad_to(v.reshape(BH, Skv, D), block_k, 1)
+    Sq, Sk = qp.shape[1], kp.shape[1]
+    n_q, n_k = Sq // block_q, Sk // block_k
+    kv_tail = Sk != Skv
+    scale = 1.0 / (D ** 0.5)
+
+    kern = _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [seed]
+    if not use_rng:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik, 0, 0))
+        )
+        inputs.append(bits)
+    in_specs += [
+        pl.BlockSpec((1, block_q, D), lambda bh, iq, ik: (bh, iq, 0)),
+        pl.BlockSpec((1, block_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+        pl.BlockSpec((1, block_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+    ]
+    inputs += [qp, kp, vp]
+    out, lse = pl.pallas_call(
+        kern,
+        grid=(BH, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, Sq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :S].reshape(B, H, S, D), lse[:, :S, 0].reshape(B, H, S)
+
+
+def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    BH = B * H
+    use_rng = bits is None
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,S]
+
+    qp = _pad_to(q.reshape(BH, S, D), block_q, 1)
+    dop = _pad_to(do.reshape(BH, S, D), block_q, 1)
+    # padded q rows: lse=+big makes p = exp(s - big) = 0 -> no contribution
+    lsep = _pad_to(lse.reshape(BH, S), block_q, 1)
+    if lsep.shape[1] != S:
+        rowpad = jnp.arange(lsep.shape[1]) >= S
+        lsep = jnp.where(rowpad[None, :], 1e30, lsep)
+    dlp = _pad_to(delta.reshape(BH, S), block_q, 1)
+    lsep = lsep[..., None]
+    dlp = dlp[..., None]
+    kp = _pad_to(k.reshape(BH, Skv, D), block_k, 1)
+    vp = _pad_to(v.reshape(BH, Skv, D), block_k, 1)
+    Sq, Sk = qp.shape[1], kp.shape[1]
+    n_q, n_k = Sq // block_q, Sk // block_k
+    kv_tail = Sk != Skv
+    scale = 1.0 / (D ** 0.5)
+
+    def specs(extra):
+        base = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if not use_rng:
+            base.append(
+                pl.BlockSpec((1, 1, 1, block_q, block_k), extra)
+            )
+        return base
+
+    bits_idx = lambda bh, iq, ik: (bh, iq, ik, 0, 0)
+    bits_idx_kv = lambda bh, ik, iq: (bh, iq, ik, 0, 0)  # same (iq, ik) cell
+
+    dq_kern = _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
+    dq_inputs = [seed] + ([] if use_rng else [bits]) + [qp, kp, vp, dop, lsep, dlp]
+    dq = pl.pallas_call(
+        dq_kern,
+        grid=(BH, n_q, n_k),
+        in_specs=specs(bits_idx) + [
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, iq, ik: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, D), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, iq, ik: (bh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(*dq_inputs)
+
+    dkv_kern = _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
+    dkv_inputs = [seed] + ([] if use_rng else [bits]) + [qp, kp, vp, dop, lsep, dlp]
+    dk, dv = pl.pallas_call(
+        dkv_kern,
+        grid=(BH, n_k, n_q),
+        in_specs=specs(bits_idx_kv) + [
+            pl.BlockSpec((1, block_q, D), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, D), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Sk, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*dkv_inputs)
+
+    return (
+        dq[:, :S].reshape(B, H, S, D),
+        dk[:, :Skv].reshape(B, H, Skv, D),
+        dv[:, :Skv].reshape(B, H, Skv, D),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_dropout(q, k, v, seed, bits, rate, block_q, block_k, interpret):
+    out, _ = _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret)
+    return out
+
+
+def _flash_dropout_fwd(q, k, v, seed, bits, rate, block_q, block_k, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret)
+    return out, (q, k, v, seed, bits, out, lse)
+
+
+def _flash_dropout_bwd(rate, block_q, block_k, interpret, res, do):
+    q, k, v, seed, bits, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, interpret
+    )
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    dbits = None if bits is None else np.zeros(bits.shape, dtype=jax.dtypes.float0)
+    return (dq, dk, dv, dseed, dbits)
+
+
+_flash_dropout.defvjp(_flash_dropout_fwd, _flash_dropout_bwd)
+
+
+def flash_attention_dropout(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    *,
+    dropout_bits: Optional[jnp.ndarray] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with probability dropout. q,k,v: [B, H, S, D].
+
+    rng: a JAX PRNG key; its raw words seed the in-core TPU PRNG (the mask is
+    a counter-based function of (key, head, q-block, kv-block) — deterministic
+    across forward and backward, a different high-quality stream than
+    threefry). dropout_bits: precomputed uint32 [B*H, nq, nk, bq, bk] mask
+    bits instead of the in-core PRNG — used by interpret-mode tests (the TPU
+    PRNG has no CPU lowering); also bit-compatible with the RNG path's
+    keep rule (bits >= rate * 2^32-1).
+
+    Block sizes (v5e, B1 H8 S16K D32, x10 layers): fwd+bwd (512,1024) 415ms /
+    (512,512) 463ms / (1024,1024) OOMs VMEM in bwd; fwd-only (1024,1024)
+    110ms. NOTE the dropout mask is a function of the block geometry — fwd
+    and bwd always share it (same custom_vjp static args), but a rate>0 result
+    is only reproducible under the same (block_q, block_k)."""
+    if dropout_rate > 0.0 and rng is None and dropout_bits is None:
+        raise ValueError("dropout needs an rng key or explicit bits")
+    if rng is not None:
+        seed = jax.random.key_data(rng).astype(jnp.int32).reshape(-1)[:2]
+    else:
+        seed = jnp.zeros((2,), jnp.int32)
+    return _flash_dropout(
+        q, k, v, seed, dropout_bits, dropout_rate, block_q, block_k, interpret
+    )
+
+
+def export_dropout_bits(
+    rng: jax.Array,
+    batch_heads: int,
+    n_q: int,
+    n_k: int,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Materialize the exact uint32 bits the RNG variant draws per block.
+
+    Debug/validation utility: feeding the result into the `dropout_bits`
+    variant must reproduce the RNG variant bit-for-bit (asserted by bench.py's
+    regression checks on the real chip). TPU-only (in-core PRNG)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seed = jax.random.key_data(rng).astype(jnp.int32).reshape(-1)[:2]
+
+    def kernel(seed_ref, out_ref):
+        bh = pl.program_id(0)
+        iq = pl.program_id(1)
+        ik = pl.program_id(2)
+        _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((block_q, block_k)), jnp.uint32)
+        out_ref[...] = bits.reshape(1, 1, 1, block_q, block_k)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(batch_heads, n_q, n_k),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, block_q, block_k), lambda bh, iq, ik: (bh, iq, ik, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch_heads, n_q, n_k, block_q, block_k), jnp.uint32
+        ),
+    )(seed)

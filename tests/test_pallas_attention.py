@@ -1,0 +1,105 @@
+"""Pallas dropout flash attention vs a dense oracle sharing the same mask.
+
+The TPU in-core PRNG has no CPU lowering, so these tests drive the kernels in
+interpret mode through the explicit `dropout_bits` variant; the oracle applies
+the identical keep rule (bits >= rate * (2^32-1)) to materialized softmax
+weights. bench.py validates the RNG variant on the real chip.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaot3d_tpu.ops.pallas_attention import flash_attention_dropout
+
+
+def _dense_oracle(q, k, v, bits, rate, block_q, block_k):
+    """Naive attention with the kernel's exact dropout mask."""
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits / jnp.sqrt(jnp.float32(D))
+    w = jax.nn.softmax(logits, axis=-1)
+    if rate > 0.0:
+        thresh = np.uint32(rate * 4294967295.0)
+        # bits: [B*H, nq, nk, bq, bk] -> dense [B,H,Sq,Sk] -> crop
+        BH, nq, nk, bq, bk = bits.shape
+        dense = bits.transpose(0, 1, 3, 2, 4).reshape(BH, nq * bq, nk * bk)
+        keep = (dense >= thresh)[:, :S, :Skv].reshape(B, H, S, Skv)
+        w = jnp.where(keep, w / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32))
+
+
+def _mk(B=1, H=2, S=192, Skv=None, D=32, seed=0):
+    Skv = S if Skv is None else Skv
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Skv, D)), jnp.float32)
+    return q, k, v
+
+
+def _mk_bits(B, H, S, Skv, bq, bk, seed=1):
+    nq, nk = -(-S // bq), -(-Skv // bk)
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(0, 2**32, size=(B * H, nq, nk, bq, bk), dtype=np.uint32)
+    )
+
+
+@pytest.mark.parametrize("S,Skv,bq,bk", [(128, 128, 64, 64), (192, 160, 64, 64)])
+def test_forward_no_dropout(S, Skv, bq, bk):
+    q, k, v = _mk(S=S, Skv=Skv)
+    got = flash_attention_dropout(q, k, v, block_q=bq, block_k=bk, interpret=True)
+    want = _dense_oracle(q, k, v, None, 0.0, bq, bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("S,Skv", [(128, 128), (192, 160)])
+def test_forward_with_dropout_bits(S, Skv):
+    bq = bk = 64
+    q, k, v = _mk(S=S, Skv=Skv)
+    bits = _mk_bits(1, 2, S, Skv, bq, bk)
+    got = flash_attention_dropout(
+        q, k, v, dropout_rate=0.3, dropout_bits=bits,
+        block_q=bq, block_k=bk, interpret=True,
+    )
+    want = _dense_oracle(q, k, v, bits, 0.3, bq, bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("rate,S,Skv", [(0.0, 128, 128), (0.25, 128, 128), (0.25, 192, 160)])
+def test_grads_match_oracle(rate, S, Skv):
+    bq = bk = 64
+    q, k, v = _mk(S=S, Skv=Skv, seed=3)
+    bits = _mk_bits(1, 2, S, Skv, bq, bk, seed=4) if rate > 0 else None
+    do = jnp.asarray(np.random.default_rng(5).normal(size=q.shape), jnp.float32)
+
+    def f_kernel(q, k, v):
+        out = flash_attention_dropout(
+            q, k, v, dropout_rate=rate, dropout_bits=bits,
+            block_q=bq, block_k=bk, interpret=True,
+        )
+        return jnp.vdot(out, do)
+
+    def f_oracle(q, k, v):
+        return jnp.vdot(_dense_oracle(q, k, v, bits, rate, bq, bk), do)
+
+    g1 = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_bf16_inputs():
+    q, k, v = _mk(S=128)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    got = flash_attention_dropout(qb, kb, vb, block_q=64, block_k=64, interpret=True)
+    want = _dense_oracle(q, k, v, None, 0.0, 64, 64)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.05
+    )
