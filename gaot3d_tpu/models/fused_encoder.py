@@ -79,18 +79,18 @@ class FusedEncoderScale(nn.Module):
             # Pallas MXU tile kernel. Python loop over the (static, small) batch
             # instead of vmap: the kernel's overflow guard is a lax.cond, which
             # vmap would convert to a both-branches select. `ctx` (per-batch
-            # SegmentFoldCtx, hoisted out of the remat region by __call__) is
-            # shared by pass 1 and pass 2 and saved — not recomputed — in bwd.
-            from ..ops.segment import fold_sum_tile
+            # TileFold, hoisted out of the remat region by __call__) is shared
+            # by pass 1 and pass 2 and saved — not recomputed — in bwd.
+            from ..ops.segment import fold_sum_tile_lite, make_tile_fold
 
             outs = []
             for b in range(payload.shape[0]):
                 c = (
-                    make_segment_fold(seg[b], M, msk[b])
+                    make_tile_fold(seg[b], M, msk[b])
                     if ctx is None
                     else jax.tree.map(lambda x: x[b], ctx)
                 )
-                outs.append(fold_sum_tile(c, payload[b]))
+                outs.append(fold_sum_tile_lite(c, payload[b], M))
             return jnp.stack(outs)
         if self.segment_impl == "sort":
             folds = jax.vmap(lambda g, m: make_segment_fold(g, M, m))(seg, msk)
@@ -169,9 +169,11 @@ class FusedEncoderScale(nn.Module):
             # replays the fold from the saved scan inputs instead of re-sorting
             ctxs = None
             if self.segment_impl == "tile":
+                from ..ops.segment import make_tile_fold
+
                 seg_flat = idx_c.reshape(nc, B, chunk * K)
                 mfl = msk_c.reshape(nc, B, chunk * K)
-                ctxs = jax.vmap(jax.vmap(lambda g, m: make_segment_fold(g, M, m)))(seg_flat, mfl)
+                ctxs = jax.vmap(jax.vmap(lambda g, m: make_tile_fold(g, M, m)))(seg_flat, mfl)
 
             def scan1(carry, xs):
                 ctx = None

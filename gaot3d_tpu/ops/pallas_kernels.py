@@ -133,24 +133,21 @@ def _sorted_fold(sorted_data: jnp.ndarray, starts: jnp.ndarray, num_valid: jnp.n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("seg_tile", "edge_block", "max_blocks", "interpret")
+    jax.jit, static_argnames=("num_segments", "seg_tile", "edge_block", "max_blocks", "interpret")
 )
 def _tile_segment_sum_call(
-    sorted_data, sorted_seg, starts, seg_tile, edge_block, max_blocks, interpret
+    sorted_data, sorted_seg, ts, num_segments, seg_tile, edge_block, max_blocks, interpret
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     E, P = sorted_data.shape
-    S = starts.shape[0] - 1
+    S = num_segments
     T = -(-S // seg_tile)
     pad_e = (-E) % edge_block
     data_p = jnp.pad(sorted_data.astype(jnp.float32), ((0, pad_e), (0, 0))) if pad_e else sorted_data.astype(jnp.float32)
     seg_p = jnp.pad(sorted_seg.astype(jnp.int32), (0, pad_e), constant_values=S) if pad_e else sorted_seg.astype(jnp.int32)
 
-    # tile boundaries in edge-row space; ts[T] = first invalid edge, so masked
-    # edges (segment id >= S, sorted last) never enter any tile
-    ts = starts[jnp.minimum(jnp.arange(T + 1) * seg_tile, S)].astype(jnp.int32)
     blk0 = ts[:-1] // edge_block
     nonempty = ts[1:] > ts[:-1]
     nblk = jnp.where(nonempty, (ts[1:] - 1) // edge_block - blk0 + 1, 0).astype(jnp.int32)
@@ -183,17 +180,39 @@ def _tile_segment_sum_call(
         return out[:S]
 
     def fallback_path(_):
-        return _sorted_fold(data_p[: E], starts, ts[-1])
+        # rare path (a tile overflowed max_blocks): the full per-segment
+        # boundaries are computed HERE so the common path never pays the
+        # S-point searchsorted (S ~ 131K vs T+1 ~ 257 tile boundaries)
+        starts = _full_starts(seg_p[:E], S)
+        return _sorted_fold(data_p[:E], starts, ts[-1])
 
     overflow = jnp.max(nblk) > max_blocks
     return jax.lax.cond(overflow, fallback_path, pallas_path, None)
 
 
+def _full_starts(sorted_seg: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    return jnp.searchsorted(
+        sorted_seg, jnp.arange(num_segments + 1, dtype=sorted_seg.dtype)
+    ).astype(jnp.int32)
+
+
+def tile_boundaries(sorted_seg: jnp.ndarray, num_segments: int, seg_tile: int = 512) -> jnp.ndarray:
+    """Edge-row index of each segment-tile boundary: ts[t] = first row with
+    segment id >= t*seg_tile (ts[T] = first invalid row). O(T log E) — the
+    cheap replacement for the full [S+1] starts when only the tile kernel
+    consumes the fold."""
+    T = -(-num_segments // seg_tile)
+    bounds = jnp.minimum(jnp.arange(T + 1) * seg_tile, num_segments)
+    return jnp.searchsorted(sorted_seg, bounds.astype(sorted_seg.dtype)).astype(jnp.int32)
+
+
 def tile_segment_sum(
     sorted_data: jnp.ndarray,
     sorted_seg: jnp.ndarray,
-    starts: jnp.ndarray,
+    starts: Optional[jnp.ndarray] = None,
     *,
+    ts: Optional[jnp.ndarray] = None,
+    num_segments: Optional[int] = None,
     seg_tile: int = 512,
     edge_block: int = 1024,
     max_blocks: int = 8,
@@ -202,20 +221,28 @@ def tile_segment_sum(
     """Segment sum over destination-sorted edges.
 
     sorted_data: [E, P] rows in ascending-segment order; sorted_seg: [E] the
-    segment id per row (invalid rows carry id >= S and sort last);
-    starts: [S+1] row index where each segment begins (searchsorted output).
+    segment id per row (invalid rows carry id >= S and sort last). Boundaries:
+    either `starts` [S+1] (full per-segment, searchsorted output) or the much
+    cheaper `ts` tile boundaries (tile_boundaries()) + `num_segments`.
     Returns [S, P] float32 sums. A tile whose edge rows span more than
     `max_blocks` blocks trips a runtime lax.cond fallback to the cumsum fold
     (never silently wrong). On non-TPU backends uses the cumsum fold unless
     interpret=True (tests)."""
+    if ts is None:
+        assert starts is not None, "pass starts[S+1] or ts + num_segments"
+        num_segments = starts.shape[0] - 1
+        T = -(-num_segments // seg_tile)
+        ts = starts[jnp.minimum(jnp.arange(T + 1) * seg_tile, num_segments)].astype(jnp.int32)
+    else:
+        assert num_segments is not None, "ts needs num_segments"
     if interpret is None:
         if not prefix_sum_available():
-            S = starts.shape[0] - 1
-            num_valid = starts[S]
-            return _sorted_fold(sorted_data.astype(jnp.float32), starts, num_valid)
+            if starts is None:
+                starts = _full_starts(sorted_seg, num_segments)
+            return _sorted_fold(sorted_data.astype(jnp.float32), starts, ts[-1])
         interpret = False
     return _tile_segment_sum_call(
-        sorted_data, sorted_seg, starts, seg_tile, edge_block, max_blocks, interpret
+        sorted_data, sorted_seg, ts, num_segments, seg_tile, edge_block, max_blocks, interpret
     )
 
 

@@ -12,6 +12,7 @@ the hot path without changing callers.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -214,6 +215,83 @@ def fold_sum_tile(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
     return _fold_sum_tile_p(data, ctx.perm, ctx.sorted_seg, ctx.starts, ctx.key)
 
 
+# --- lite tile fold: tile boundaries only (no [S+1] starts) -----------------
+#
+# make_segment_fold's searchsorted emits one binary search per SEGMENT
+# (S ~ 131K for the drivaernet latent grid); the tile kernel only consumes
+# ~S/512 tile boundaries. The lite fold computes exactly those, and the
+# overflow fallback inside tile_segment_sum computes the full starts lazily
+# (only when its lax.cond branch is actually taken).
+
+
+class TileFold(NamedTuple):
+    perm: jnp.ndarray  # [E] destination-sorted edge order (invalid last)
+    sorted_seg: jnp.ndarray  # [E] segment id per sorted edge (S for invalid)
+    ts: jnp.ndarray  # [T+1] edge row of each segment-tile boundary
+    key: jnp.ndarray  # [E] keyed segment id in ORIGINAL edge order
+
+
+def make_tile_fold(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    seg_tile: int = 512,
+) -> TileFold:
+    from .pallas_kernels import tile_boundaries
+
+    key = segment_ids if mask is None else jnp.where(mask, segment_ids, num_segments)
+    perm = jnp.argsort(key)
+    sorted_seg = key[perm]
+    return TileFold(
+        perm=perm.astype(jnp.int32),
+        sorted_seg=sorted_seg.astype(jnp.int32),
+        ts=tile_boundaries(sorted_seg, num_segments, seg_tile),
+        key=key,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fold_sum_tile_lite_p(data, perm, sorted_seg, ts, key, num_segments, seg_tile):
+    from .pallas_kernels import tile_segment_sum
+
+    sd = jnp.take(data, perm, axis=0)
+    squeeze = sd.ndim == 1
+    if squeeze:
+        sd = sd[:, None]
+    out = tile_segment_sum(
+        sd, sorted_seg, ts=ts, num_segments=num_segments, seg_tile=seg_tile
+    )
+    if squeeze:
+        out = out[:, 0]
+    return out.astype(data.dtype)
+
+
+def _fold_sum_tile_lite_fwd(data, perm, sorted_seg, ts, key, num_segments, seg_tile):
+    out = _fold_sum_tile_lite_p(data, perm, sorted_seg, ts, key, num_segments, seg_tile)
+    return out, (perm, sorted_seg, ts, key)
+
+
+def _fold_sum_tile_lite_bwd(num_segments, seg_tile, res, ct):
+    perm, sorted_seg, ts, key = res
+    safe = jnp.clip(key, 0, num_segments - 1)
+    d = ct[safe]
+    kv = key < num_segments
+    d = jnp.where(kv[:, None] if d.ndim == 2 else kv, d, 0)
+    return (d, _float0(perm), _float0(sorted_seg), _float0(ts), _float0(key))
+
+
+_fold_sum_tile_lite_p.defvjp(_fold_sum_tile_lite_fwd, _fold_sum_tile_lite_bwd)
+
+
+def fold_sum_tile_lite(
+    tf: TileFold, data: jnp.ndarray, num_segments: int, seg_tile: int = 512
+) -> jnp.ndarray:
+    """fold_sum via the Pallas tile kernel using tile boundaries only."""
+    return _fold_sum_tile_lite_p(
+        data, tf.perm, tf.sorted_seg, tf.ts, tf.key, num_segments, seg_tile
+    )
+
+
 def fold_count(ctx: SegmentFoldCtx, dtype=jnp.float32) -> jnp.ndarray:
     return (ctx.starts[1:] - ctx.starts[:-1]).astype(dtype)
 
@@ -269,10 +347,10 @@ def _gather_table_fwd(table, idx, mask):
 
 def _gather_table_bwd(res, ct):
     idx, mask, S = res
-    ctx = make_segment_fold(idx, S, mask)
     # tile kernel on TPU (MXU one-hot matmul over sorted blocks); identical
     # cumsum fold elsewhere — either way, never a scatter
-    d_table = fold_sum_tile(ctx, ct)
+    tf = make_tile_fold(idx, S, mask)
+    d_table = fold_sum_tile_lite(tf, ct, S)
     return (d_table, _float0(idx), _float0(mask))
 
 

@@ -191,3 +191,20 @@ def test_fold_sum_tile_matches_and_grads(edges):
     g1 = jax.jit(jax.grad(f_tile))(d)
     g2 = jax.grad(f_scatter)(d)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_fold_sum_tile_lite_matches(edges):
+    """Lite tile fold (tile boundaries only, no [S+1] starts) == scatter,
+    forward and gradient."""
+    from gaot3d_tpu.ops.segment import fold_sum_tile_lite, make_tile_fold
+
+    data, seg, mask, S = edges
+    d, s, m = jnp.asarray(data), jnp.asarray(seg), jnp.asarray(mask)
+    tf = make_tile_fold(s, S, m, seg_tile=8)
+    got = fold_sum_tile_lite(tf, d, S, seg_tile=8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(segment_sum(d, s, S, m)), rtol=1e-5, atol=1e-5
+    )
+    g1 = jax.jit(jax.grad(lambda x: (fold_sum_tile_lite(tf, x, S, seg_tile=8) ** 2).sum()))(d)
+    g2 = jax.grad(lambda x: (segment_sum(x, s, S, m) ** 2).sum())(d)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
