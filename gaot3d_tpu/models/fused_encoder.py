@@ -1,17 +1,20 @@
 """Fused encoder scale: GNO kernel transform + statistical geometric embedding
-in ONE chunked scan with ONE segment reduction per pass.
+in ONE chunked scan with ONE segment reduction TOTAL.
 
-Motivation (measured on v5e): an unsorted segment reduction costs ~7ms per
-400K-edge chunk REGARDLESS of channel count (it is row-latency-bound), and the
+Motivation (measured on v5e): an unsorted segment reduction costs ~11ms per
+524K-edge chunk REGARDLESS of channel count (it is row-latency-bound), and the
 modular encoder (IntegralTransform + GeometricEmbedding as separate modules)
-issues ~7 of them per chunk. Fusing the GNO values and all first-moment
-geoembed statistics into one [E, C+6] payload cuts that to 2 reductions per
-chunk (pass 1: values+count+dist+dist^2+x; pass 2: centered covariance), and
-latent coordinates are computed analytically from the slot index (no per-edge
-HBM gather). Behavior is identical to the modular path (verified by test);
-this module is selected by MAGNOEncoder for the flagship configuration
-(use_gno + statistical geoembed + no per-edge attention), which covers the
-reference's DrivAerNet/DrivAerML recipes.
+issues ~7 of them per chunk. Fusing the GNO values and ALL geoembed moments
+into one [E, C+11] payload cuts that to ONE reduction per chunk: second
+moments are taken relative to the latent cell center (y = x - cell), which is
+O(gno_radius), so cov = E[yy^T] - E[y]E[y]^T is numerically equivalent to the
+reference's two-pass centered covariance — and the centroid delta is just
+E[y] because the geoembed query IS the cell center. Latent coordinates are
+computed analytically from the slot index (no per-edge HBM gather). Behavior
+is identical to the modular path (verified by test); this module is selected
+by MAGNOEncoder for the flagship configuration (use_gno + statistical
+geoembed + no per-edge attention), which covers the reference's
+DrivAerNet/DrivAerML recipes.
 
 Parity anchors: reference magno.py:539-581 (GNO+geoembed combination),
 integral_transform.py:145-171, geoembed.py:99-182.
@@ -97,14 +100,24 @@ class FusedEncoderScale(nn.Module):
             return jax.vmap(fold_sum)(folds, payload)
         return jax.vmap(lambda d, g, m: segment_sum(d, g, M, m))(payload, seg, msk)
 
-    def _pass1_chunk(self, M, feats_c, pos_c, lat_idx_c, mask_c, ctx=None):
-        """ONE fused payload: [gno values (C) | 1 | dist | dist^2 | x (3)]."""
+    def _pass_chunk(self, M, feats_c, pos_c, lat_idx_c, mask_c, ctx=None):
+        """ONE fused payload: [gno values (C) | 1 | d | y (3) | yy^T sym (6)].
+
+        y = point - latent-cell-center is O(gno_radius), so the uncentered
+        moment identity cov = E[yy^T] - E[y]E[y]^T is numerically benign here
+        (both terms are O(radius^2); no large-coordinate cancellation). This
+        makes the whole statistical geoembed a SINGLE segment reduction —
+        centroid delta (= E[y], since the query IS the cell center), distance
+        mean/variance (d^2 = tr(yy^T)) and PCA eigenvalues all come from the
+        same pass. The reference's two-pass centered covariance
+        (geoembed.py:99-182) is reproduced to f32 rounding (asserted equal to
+        the modular module by test)."""
         B, n, K = mask_c.shape
         C = self.lifting_channels
         lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
         pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, self.coord_dim))
-        diff = pt_pos_e - lat_pos_e
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        y = pt_pos_e - lat_pos_e
+        dist = jnp.sqrt(jnp.sum(y * y, axis=-1))
         parts = []
         if self.use_gno:
             agg = jnp.concatenate([pt_pos_e, lat_pos_e], axis=-1)
@@ -117,24 +130,21 @@ class FusedEncoderScale(nn.Module):
             parts.append(vals)
         parts.append(jnp.ones((B, n, K, 1), pos_c.dtype))
         parts.append(dist[..., None])
-        parts.append((dist * dist)[..., None])
-        parts.append(pt_pos_e)  # source coords (points) for the centroid
+        parts.append(y)
+        # symmetric second moments: 00, 01, 02, 11, 12, 22
+        parts.append(
+            jnp.stack(
+                [
+                    y[..., 0] * y[..., 0], y[..., 0] * y[..., 1], y[..., 0] * y[..., 2],
+                    y[..., 1] * y[..., 1], y[..., 1] * y[..., 2], y[..., 2] * y[..., 2],
+                ],
+                axis=-1,
+            )
+        )
         payload = jnp.concatenate(parts, axis=-1)
         seg = lat_idx_c.reshape(B, n * K)
         msk = mask_c.reshape(B, n * K)
         return self._reduce(payload.reshape(B, n * K, -1), seg, msk, M, ctx)
-
-    def _pass2_chunk(self, M, centroid, pos_c, lat_idx_c, mask_c, ctx=None):
-        """Centered covariance partial sums [B, M, 9]."""
-        B, n, K = mask_c.shape
-        D = self.coord_dim
-        pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, D))
-        cen_e = centroid[jnp.arange(B)[:, None, None], lat_idx_c]
-        centered = pt_pos_e - cen_e
-        cc = (centered[..., :, None] * centered[..., None, :]).reshape(B, n, K, D * D)
-        seg = lat_idx_c.reshape(B, n * K)
-        msk = mask_c.reshape(B, n * K)
-        return self._reduce(cc.reshape(B, n * K, -1), seg, msk, M, ctx)
 
     def __call__(
         self,
@@ -148,16 +158,15 @@ class FusedEncoderScale(nn.Module):
         M = latent_pos.shape[0]
         C = self.lifting_channels
         D = self.coord_dim
-        P = (C if self.use_gno else 0) + 3 + D
+        P = (C if self.use_gno else 0) + 2 + D + 6
         chunk = effective_chunk(N, self.edge_chunk_size)
         from .integral_transform import _ckpt
 
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
-        body1 = maybe_ckpt(partial(self._pass1_chunk, M))
+        body = maybe_ckpt(partial(self._pass_chunk, M))
         if chunk == N:
-            acc = body1(lifted_feats, point_pos, slots.lat_idx, slots.mask, None)
-            ctxs = None
+            acc = body(lifted_feats, point_pos, slots.lat_idx, slots.mask, None)
         else:
             pos_c, nc = reshape_chunks(point_pos, chunk)
             idx_c, _ = reshape_chunks(slots.lat_idx, chunk)
@@ -165,8 +174,8 @@ class FusedEncoderScale(nn.Module):
             feat_c = reshape_chunks(lifted_feats, chunk)[0] if lifted_feats is not None else None
 
             # 'tile': sort each chunk's edges by destination ONCE, outside the
-            # remat region — pass 1 and pass 2 share the ctx, and backward
-            # replays the fold from the saved scan inputs instead of re-sorting
+            # remat region — backward replays the fold from the saved scan
+            # inputs instead of re-sorting
             ctxs = None
             if self.segment_impl == "tile":
                 from ..ops.segment import make_tile_fold
@@ -184,7 +193,7 @@ class FusedEncoderScale(nn.Module):
                 else:
                     p, i, m = xs
                     f = None
-                return carry + body1(f, p, i, m, ctx), None
+                return carry + body(f, p, i, m, ctx), None
 
             xs = (feat_c, pos_c, idx_c, msk_c) if lifted_feats is not None else (pos_c, idx_c, msk_c)
             if ctxs is not None:
@@ -194,32 +203,28 @@ class FusedEncoderScale(nn.Module):
         off = C if self.use_gno else 0
         cnt = acc[..., off]
         d_sum = acc[..., off + 1]
-        d2_sum = acc[..., off + 2]
-        x_sum = acc[..., off + 3 : off + 3 + D]
+        y_sum = acc[..., off + 2 : off + 2 + D]
+        yy = acc[..., off + 2 + D :]  # [B, M, 6] sym moments 00,01,02,11,12,22
         n_safe = jnp.maximum(cnt, 1.0)
         gno_out = acc[..., :C] / n_safe[..., None] if self.use_gno else None
 
-        centroid = x_sum / n_safe[..., None]
-        body2 = maybe_ckpt(partial(self._pass2_chunk, M, centroid))
-        if chunk == N:
-            cov_sum = body2(point_pos, slots.lat_idx, slots.mask, None)
-        else:
-            def scan2(carry, xs):
-                return carry + body2(*xs), None
-
-            xs2 = (pos_c, idx_c, msk_c)
-            if ctxs is not None:
-                xs2 = xs2 + (ctxs,)
-            else:
-                xs2 = xs2 + (None,)
-            cov_sum, _ = jax.lax.scan(scan2, jnp.zeros((B, M, D * D)), xs2)
-
-        # finalize statistical features (parity: geoembed.py:125-182)
+        # finalize statistical features (parity: geoembed.py:125-182);
+        # all moments are relative to the cell center == the query point, so
+        # delta = mean(y) and cov = E[yy^T] - E[y]E[y]^T directly
+        ybar = y_sum / n_safe[..., None]
         d_avg = d_sum / n_safe
-        d_var = jnp.maximum(d2_sum / n_safe - d_avg * d_avg, 0.0)
-        qpos = jnp.broadcast_to(latent_pos[None], (B, M, D))
-        delta = centroid - qpos
-        cov = cov_sum.reshape(B, M, D, D) / n_safe[..., None, None]
+        d2_avg = (yy[..., 0] + yy[..., 3] + yy[..., 5]) / n_safe  # tr(yy^T)/n
+        d_var = jnp.maximum(d2_avg - d_avg * d_avg, 0.0)
+        delta = ybar
+        yym = yy / n_safe[..., None]
+        cov = jnp.stack(
+            [
+                yym[..., 0], yym[..., 1], yym[..., 2],
+                yym[..., 1], yym[..., 3], yym[..., 4],
+                yym[..., 2], yym[..., 4], yym[..., 5],
+            ],
+            axis=-1,
+        ).reshape(B, M, D, D) - ybar[..., :, None] * ybar[..., None, :]
         cov_reg = cov + 1e-6 * jnp.eye(D, dtype=cov.dtype)
         pca = eigvalsh3x3_desc(cov_reg)
         pca = jnp.where(pca > 1e-3 * pca[..., :1], pca, 0.0)  # f32-noise guard
