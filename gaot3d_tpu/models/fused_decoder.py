@@ -67,8 +67,8 @@ class FusedDecoderScale(nn.Module):
 
         return kernel_mlp_apply(x, self.kernel_ws, self.kernel_bs, self.kernel_dtype)
 
-    def _chunk(self, latent_feats, pos_c, lat_idx_c, mask_c):
-        """One node chunk -> (gno mean [B,n,C], raw geo feats [B,n,3+2D])."""
+    def _gno_chunk(self, latent_feats, pos_c, lat_idx_c, mask_c):
+        """One node chunk -> gno mean [B,n,C] (the ONLY grad-carrying branch)."""
         B, n, K = mask_c.shape
         D = self.coord_dim
         lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
@@ -92,10 +92,22 @@ class FusedDecoderScale(nn.Module):
         m3 = mask_c[..., None]
         cnt = mask_c.sum(axis=-1).astype(jnp.float32)
         n_safe = jnp.maximum(cnt, 1.0)
-        gno = jnp.where(m3, vals, 0.0).sum(2) / n_safe[..., None]
+        return jnp.where(m3, vals, 0.0).sum(2) / n_safe[..., None]
 
-        # statistical geoembed over the SAME edge geometry (one pass: the
-        # centroid is exact within the row, no cross-chunk accumulation)
+    def _geo_chunk(self, pos_c, lat_idx_c, mask_c):
+        """Statistical geoembed feats [B,n,3+2D] — PURE GEOMETRY: depends only
+        on (query pos, slot ids, mask), none of which carry gradients, so this
+        runs outside the remat region and the backward never recomputes the
+        per-edge distances/covariances/eigendecompositions (the modular path
+        recomputes all of it under checkpoint; reference: geoembed.py:99-182
+        inside the autograd graph)."""
+        B, n, K = mask_c.shape
+        D = self.coord_dim
+        lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
+        pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, D))
+        m3 = mask_c[..., None]
+        cnt = mask_c.sum(axis=-1).astype(jnp.float32)
+        n_safe = jnp.maximum(cnt, 1.0)
         diff = lat_pos_e - pt_pos_e
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
         d_avg = jnp.where(mask_c, dist, 0.0).sum(-1) / n_safe
@@ -112,8 +124,7 @@ class FusedDecoderScale(nn.Module):
         feats = jnp.concatenate(
             [cnt[..., None], d_avg[..., None], d_var[..., None], delta, pca], axis=-1
         )
-        feats = jnp.where((cnt > 0)[..., None], feats, 0.0)
-        return gno, feats
+        return jnp.where((cnt > 0)[..., None], feats, 0.0)
 
     def __call__(
         self,
@@ -128,17 +139,25 @@ class FusedDecoderScale(nn.Module):
         C = self.channels
         chunk = effective_chunk(N, self.edge_chunk_size)
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
-        body = maybe_ckpt(partial(self._chunk, latent_feats))
+        body = maybe_ckpt(partial(self._gno_chunk, latent_feats))
 
         if chunk == N:
-            gno, feats = body(query_pos, slots.lat_idx, slots.mask)
+            gno = body(query_pos, slots.lat_idx, slots.mask)
+            feats = jax.lax.stop_gradient(
+                self._geo_chunk(query_pos, slots.lat_idx, slots.mask)
+            )
         else:
             pos_c, _ = reshape_chunks(query_pos, chunk)
             idx_c, _ = reshape_chunks(slots.lat_idx, chunk)
             msk_c, _ = reshape_chunks(slots.mask, chunk)
-            gno, feats = jax.lax.map(lambda xs: body(*xs), (pos_c, idx_c, msk_c))
+            gno = jax.lax.map(lambda xs: body(*xs), (pos_c, idx_c, msk_c))
             gno = gno.swapaxes(0, 1).reshape(B, N, C)
-            feats = feats.swapaxes(0, 1).reshape(B, N, -1)
+            # geometry-only scan: NOT checkpointed (outputs are [B,N,11] —
+            # cheap to save), stop_gradient'd so backward skips it entirely
+            feats = jax.lax.map(
+                lambda xs: self._geo_chunk(*xs), (pos_c, idx_c, msk_c)
+            )
+            feats = jax.lax.stop_gradient(feats.swapaxes(0, 1).reshape(B, N, -1))
 
         # batch-global z-normalization over all query nodes (incl. zeroed
         # no-neighbor rows) with unbiased std — reference quirk
