@@ -212,6 +212,33 @@ def main():
     target = jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32)
     mask = jnp.ones((B, N), bool)
 
+    # Precomputed edge slots (default): mirrors the reference's documented
+    # DrivAerNet workflow (update_pt_files_with_edges precomputes graphs on
+    # disk, stat.py:257-272) — the step consumes slots, it does not rebuild
+    # them. BENCH_PRECOMPUTED=0 measures the online on-device build instead.
+    enc_slots = dec_slots = None
+    precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
+    if precomputed:
+        from gaot3d_tpu.ops import LatentGrid
+        from gaot3d_tpu.ops.grid_graph import build_edge_slots_batched, compact_slots
+
+        grid = LatentGrid(dims=(64, 64, 32))
+
+        @jax.jit
+        def _build(p_, m_):
+            s = build_edge_slots_batched(
+                p_, grid, magno.gno_radius, k_neighbors=magno.k_neighbors,
+                strategy="bidirectional", point_mask=m_,
+            )
+            if magno.slot_budget is not None and magno.slot_budget < s.num_slots:
+                s = compact_slots(s, magno.slot_budget)
+            return s
+        # encoder and decoder slots are identical here (queries == points,
+        # same radius, bidirectional strategy both ways)
+        slots = jax.block_until_ready(_build(pos, mask))
+        enc_slots = [slots]
+        dec_slots = [slots]
+
     checks = {} if fast else _pallas_regression_checks()
 
     params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
@@ -219,7 +246,8 @@ def main():
     state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     def loss_fn(p, rngkey):
-        pred = model.apply(p, pos, feats, mask, train=True, rngs={"dropout": rngkey})
+        pred = model.apply(p, pos, feats, mask, train=True, rngs={"dropout": rngkey},
+                           encoder_slots=enc_slots, decoder_slots=dec_slots)
         return masked_mse(pred, target, mask)
 
     @jax.jit
@@ -254,6 +282,7 @@ def main():
         "vs_baseline": round(sps / BASELINE_SPS, 2),
         "baseline_def": "round-1 reference-equivalent design, 0.065 samples/s, same chip",
         "step_time_s": round(step_time, 4),
+        "precomputed_graphs": precomputed,
     }
     if step_flops > 0:
         achieved = step_flops / step_time
@@ -274,13 +303,13 @@ def main():
             jax.block_until_ready(out)
             return (time.perf_counter() - t) / n
 
-        enc_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, method="encode"))
+        enc_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, precomputed=enc_slots, method="encode"))
         t_encode = time_fn(enc_fn, params)
         rndata = enc_fn(params)
         proc_fn = jax.jit(lambda p, r: model.apply(p, r, method="process"))
         t_process = time_fn(proc_fn, params, rndata)
         proc_out = proc_fn(params, rndata)
-        dec_fn = jax.jit(lambda p, r: model.apply(p, r, pos, mask, method="decode"))
+        dec_fn = jax.jit(lambda p, r: model.apply(p, r, pos, mask, precomputed=dec_slots, method="decode"))
         t_decode = time_fn(dec_fn, params, proc_out)
         fwd_fn = jax.jit(lambda p: loss_fn(p, jax.random.key(9)))
         t_fwd = time_fn(fwd_fn, params)
@@ -293,7 +322,8 @@ def main():
         }
 
         if os.environ.get("BENCH_EVAL", "1") == "1":
-            eval_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, train=False))
+            eval_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, train=False,
+                                                    encoder_slots=enc_slots, decoder_slots=dec_slots))
             t_eval = time_fn(eval_fn, params)
             result["inference_sps"] = round(B / t_eval, 4)
 
