@@ -371,3 +371,114 @@ def brute_force_edges(
             for j in nn[i]:
                 edges.add((i, int(j)))
     return edges
+
+
+# ---------------------------------------------------------------------------
+# Native host-side builder (native/gaot_graph.cpp): the CPU twin for the
+# precompute / async-collate workflows. ~60x the vectorized-numpy twin on the
+# one-core host (26s -> <0.5s per 500K-node sample); threads when cores exist.
+# Falls back to build_edge_slots_np when the toolchain is unavailable.
+# ---------------------------------------------------------------------------
+_GRAPH_LIB = None
+_GRAPH_LIB_TRIED = False
+
+
+def _load_graph_library():
+    global _GRAPH_LIB, _GRAPH_LIB_TRIED
+    if _GRAPH_LIB is not None or _GRAPH_LIB_TRIED:
+        return _GRAPH_LIB
+    _GRAPH_LIB_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(root, "native", "gaot_graph.cpp")
+    build_dir = os.path.join(root, ".build")
+    lib_path = os.path.join(build_dir, "libgaot_graph.so")
+    try:
+        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src):
+            os.makedirs(build_dir, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                 "-o", lib_path, src, "-lpthread"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        lib.gaot_build_slots.restype = ctypes.c_int
+        lib.gaot_build_slots.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,                       # pts, n
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,     # lo, h, dims
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,            # radius, k, flags
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,              # w0..w2
+            ctypes.c_int,                                          # budget
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,        # out idx/mask/k
+            ctypes.c_int,                                          # n_threads
+        ]
+        _GRAPH_LIB = lib
+    except Exception:  # pragma: no cover — no toolchain: numpy fallback
+        _GRAPH_LIB = None
+    return _GRAPH_LIB
+
+
+def compact_slots_np(lat_idx: np.ndarray, mask: np.ndarray, budget: int):
+    """Numpy twin of compact_slots: pack valid slots front, window order."""
+    N, K = mask.shape
+    order = np.argsort(~mask, axis=1, kind="stable")[:, :budget]
+    rows = np.arange(N)[:, None]
+    return lat_idx[rows, order].astype(np.int32), mask[rows, order]
+
+
+def build_edge_slots_host(
+    points: np.ndarray,
+    grid: LatentGrid,
+    radius: float,
+    k_neighbors: int = 1,
+    strategy: str = "radius",
+    budget: int = 0,
+    n_threads: int = 0,
+):
+    """Host-side stencil build: native C++ when available, numpy otherwise.
+
+    budget > 0 packs valid slots to the front (compact_slots order) and
+    truncates K to budget — the exact layout the trainer's precompute stores.
+    Returns (lat_idx [N, K_out] int32, mask [N, K_out] bool)."""
+    if strategy not in DECODER_STRATEGIES:
+        raise ValueError(f"unknown neighbor strategy: {strategy}")
+    eff = "bidirectional" if strategy == "reverse" else strategy
+    lib = _load_graph_library()
+    if lib is None:
+        lat, msk = build_edge_slots_np(points, grid, radius, k_neighbors, strategy)
+        if budget and budget < lat.shape[1]:
+            lat, msk = compact_slots_np(lat, msk, budget)
+        return lat, msk
+
+    import ctypes
+    import os
+
+    widths = stencil_widths(grid, radius, k_neighbors, eff)
+    pts = np.ascontiguousarray(points, np.float32)
+    N = pts.shape[0]
+    K = widths[0] * widths[1] * widths[2]
+    out_k = budget if (budget and budget < K) else K
+    lo = np.asarray(grid.lo, np.float32)
+    h = np.asarray(grid.spacing, np.float32)
+    dims = np.asarray(grid.dims, np.int64)
+    flags = {"radius": 1, "knn": 2, "bidirectional": 3}[eff]
+    out_idx = np.empty((N, out_k), np.int32)
+    out_mask = np.empty((N, out_k), np.uint8)
+    if n_threads <= 0:
+        n_threads = max(1, os.cpu_count() or 1)
+    rc = lib.gaot_build_slots(
+        pts.ctypes.data_as(ctypes.c_void_p), N,
+        lo.ctypes.data_as(ctypes.c_void_p), h.ctypes.data_as(ctypes.c_void_p),
+        dims.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_float(radius), k_neighbors, flags,
+        widths[0], widths[1], widths[2],
+        out_k if (budget and budget < K) else 0,
+        out_idx.ctypes.data_as(ctypes.c_void_p),
+        out_mask.ctypes.data_as(ctypes.c_void_p), out_k, n_threads,
+    )
+    if rc != 0:  # pragma: no cover — argument mismatch: fail loudly
+        raise RuntimeError(f"gaot_build_slots failed rc={rc}")
+    return out_idx, out_mask.astype(bool)

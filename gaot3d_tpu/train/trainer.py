@@ -406,7 +406,7 @@ class StaticTrainer3D(TrainerBase):
             magno_cfg.precompute_edges = True
         elif magno_cfg.asynchronous_graph_building:
             from ..models.magno import parse_neighbor_strategy
-            from ..ops.grid_graph import build_edge_slots_np
+            from ..ops.grid_graph import build_edge_slots_host as build_edge_slots_np
 
             enc_s, dec_s = parse_neighbor_strategy(magno_cfg.neighbor_strategy)
             grid = self.grid
@@ -430,7 +430,7 @@ class StaticTrainer3D(TrainerBase):
         # the max per-point degree — validate against a real sample up front
         if magno_cfg.slot_budget is not None:
             from ..models.magno import parse_neighbor_strategy as _pns
-            from ..ops.grid_graph import build_edge_slots_np
+            from ..ops.grid_graph import build_edge_slots_host as build_edge_slots_np
 
             probe_ds = MeshDataset(dataset_config, "test")
             probe_pos = pre(probe_ds[0])["pos"]
@@ -484,7 +484,7 @@ class StaticTrainer3D(TrainerBase):
         # 'p2r edges' / 'r2p edges', main.py:107-118; measured on sample 0)
         try:
             from ..models.magno import parse_neighbor_strategy as _pns2
-            from ..ops.grid_graph import build_edge_slots_np as _besn
+            from ..ops.grid_graph import build_edge_slots_host as _besn
 
             enc_s2, dec_s2 = _pns2(magno_cfg.neighbor_strategy)
             _, em = _besn(sample["pos"], self.grid, magno_cfg.gno_radius,

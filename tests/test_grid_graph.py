@@ -119,3 +119,30 @@ def test_base_cell_monotone_slots():
     lat = np.asarray(slots.lat_idx)
     for k in range(lat.shape[1]):
         assert np.all(np.diff(lat[:, k]) >= 0), f"slot {k} not monotone"
+
+
+def test_native_host_builder_matches_numpy():
+    """native/gaot_graph.cpp == build_edge_slots_np as an edge set, all
+    strategies; budget packing == compact_slots_np; numpy fallback exercised
+    implicitly when no toolchain."""
+    from gaot3d_tpu.ops.grid_graph import (
+        LatentGrid,
+        build_edge_slots_host,
+        build_edge_slots_np,
+        compact_slots_np,
+    )
+
+    rng = np.random.default_rng(5)
+    grid = LatentGrid(dims=(9, 7, 5), lo=(-1, -0.5, 0.0), hi=(1.0, 0.5, 0.25))
+    pts = rng.uniform(-1.1, 1.1, (777, 3)).astype(np.float32)
+    for strat in ("radius", "knn", "bidirectional", "reverse"):
+        lat_n, msk_n = build_edge_slots_np(pts, grid, 0.3, 2, strat)
+        lat_c, msk_c = build_edge_slots_host(pts, grid, 0.3, 2, strat)
+        en = {(i, int(lat_n[i, j])) for i, j in zip(*np.nonzero(msk_n))}
+        ec = {(i, int(lat_c[i, j])) for i, j in zip(*np.nonzero(msk_c))}
+        assert en == ec, strat
+    lat_c, msk_c = build_edge_slots_host(pts, grid, 0.3, 1, "radius", budget=6)
+    lat_n, msk_n = build_edge_slots_np(pts, grid, 0.3, 1, "radius")
+    ln, mn = compact_slots_np(lat_n, msk_n, 6)
+    np.testing.assert_array_equal(msk_c, mn)
+    np.testing.assert_array_equal(lat_c[mn], ln[mn])
