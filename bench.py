@@ -157,6 +157,15 @@ def _pallas_regression_checks() -> dict:
 
 def main():
     import jax
+
+    # persistent compilation cache: the remote-tunnel XLA compile of the full
+    # step takes 15-25 min; cached executables load in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
     from flax.training import train_state
