@@ -347,10 +347,12 @@ def _gather_table_fwd(table, idx, mask):
 
 def _gather_table_bwd(res, ct):
     idx, mask, S = res
-    # tile kernel on TPU (MXU one-hot matmul over sorted blocks); identical
-    # cumsum fold elsewhere — either way, never a scatter
-    tf = make_tile_fold(idx, S, mask)
-    d_table = fold_sum_tile_lite(tf, ct, S)
+    # Plain scatter segment-sum. Round 1 used a sort-based fold here because
+    # scatter-add was 68ms per 786K-edge chunk at K=48; with slot compaction
+    # (budget ~8) the chunk is 524K edges and scatter costs 11.3ms — CHEAPER
+    # than any sorted scheme, whose [E, C] perm-gather alone costs 10.3ms
+    # (both are row-latency bound; measured v5e, see CLAUDE.md).
+    d_table = segment_sum(ct, idx, S, mask)
     return (d_table, _float0(idx), _float0(mask))
 
 
