@@ -31,6 +31,7 @@ rate, vjp dot-test).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -246,6 +247,94 @@ def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng
     return kernel
 
 
+def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+    """Single-pass backward: dk/dv accumulate in VMEM scratch (kv-block outer
+    loop), and the ENTIRE per-head dq lives in a [Sq, D] f32 VMEM scratch
+    (dynamic-slice accumulation, written back once per head). The two-kernel
+    backward computes s, p and dO.V^T twice per (q,kv) tile; at D=32 those
+    [bq, bk] VPU ops (exp, selects) dominate over the MXU work, so fusing
+    nearly halves the backward. Caller guards Sq*D*4 against VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, *refs):
+        if use_rng:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+             dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+            bits_ref = None
+        else:
+            (bits_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+             dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+        bh = pl.program_id(0)
+        ik = pl.program_id(1)  # kv block OUTER
+        iq = pl.program_id(2)
+
+        @pl.when(jnp.logical_and(ik == 0, iq == 0))
+        def _init_dq():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
+
+        @pl.when(iq == 0)
+        def _init_dkv():
+            dk_scr[...] = jnp.zeros_like(dk_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
+
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0]
+        delta = dl_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)
+        if kv_tail:
+            p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
+        dpv = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            if use_rng:
+                # same (seed, bh, iq, ik) counters as the forward -> same mask
+                _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
+                )
+            else:
+                bits = bits_ref[0, 0, 0]
+            keep = _bits_to_keep(bits, rate)
+            inv = 1.0 / (1.0 - rate)
+            pm = jnp.where(keep, p * inv, 0.0)
+            dpv = jnp.where(keep, dpv * inv, 0.0)
+        else:
+            pm = p
+        ds = p * (dpv - delta)
+        row = pl.ds(iq * block_q, block_q)
+        dq_scr[row, :] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv_scr[...] += jax.lax.dot_general(
+            pm.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        @pl.when(iq == n_q - 1)
+        def _finish_dkv():
+            dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+            dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+        @pl.when(jnp.logical_and(ik == n_k - 1, iq == n_q - 1))
+        def _finish_dq():
+            dq_ref[0] = dq_scr[...]
+
+    return kernel
+
+
 def _pad_to(x, mult, axis):
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -344,6 +433,53 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
 
     bits_idx = lambda bh, iq, ik: (bh, iq, ik, 0, 0)
     bits_idx_kv = lambda bh, ik, iq: (bh, iq, ik, 0, 0)  # same (iq, ik) cell
+
+    # fused single-pass backward: the whole per-head dq must fit VMEM
+    if Sq * D * 4 <= 4 * 1024 * 1024 and os.environ.get("GAOT_ATTN_BWD_FUSED", "1") == "1":
+        fused_kern = _make_bwd_fused_kernel(
+            scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail
+        )
+        fused_inputs = [seed] + ([] if use_rng else [bits]) + [
+            qp, kp, vp, dop, lsep, dlp,
+        ]
+        dq, dk, dv = pl.pallas_call(
+            fused_kern,
+            grid=(BH, n_k, n_q),
+            in_specs=specs(bits_idx_kv) + [
+                pl.BlockSpec((1, block_q, D), lambda bh, ik, iq: (bh, iq, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+                pl.BlockSpec((1, block_q, D), lambda bh, ik, iq: (bh, iq, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda bh, ik, iq: (bh, iq, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Sq, D), lambda bh, ik, iq: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+                pl.BlockSpec((1, block_k, D), lambda bh, ik, iq: (bh, ik, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
+                jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
+                jax.ShapeDtypeStruct((BH, Sk, D), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Sq, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+            # the [Sq, D] dq scratch + the [bq, bk] tile temporaries exceed
+            # the 16MB default scoped-vmem soft limit; v5e has 128MB physical
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(*fused_inputs)
+        return (
+            dq[:, :S].reshape(B, H, S, D).astype(q.dtype),
+            dk[:, :Skv].reshape(B, H, Skv, D),
+            dv[:, :Skv].reshape(B, H, Skv, D),
+        )
 
     dq_kern = _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
     dq_inputs = [seed] + ([] if use_rng else [bits]) + [qp, kp, vp, dop, lsep, dlp]
