@@ -193,7 +193,11 @@ def main():
         encoder_feature_attr="x",
         edge_chunk_size=int(os.environ.get("BENCH_CHUNK", 65536)),
         slot_budget=int(os.environ.get("BENCH_SLOT_BUDGET", 8)),
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat=(
+            [c == "1" for c in os.environ["BENCH_REMAT"]]
+            if len(os.environ.get("BENCH_REMAT", "")) == 2
+            else os.environ.get("BENCH_REMAT", "1") == "1"
+        ),
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
         kernel_dtype=os.environ.get("BENCH_KERNEL_DTYPE", "float32"),
@@ -229,22 +233,22 @@ def main():
     precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
     if precomputed:
         from gaot3d_tpu.ops import LatentGrid
-        from gaot3d_tpu.ops.grid_graph import build_edge_slots_batched, compact_slots
+        from gaot3d_tpu.ops.grid_graph import EdgeSlots, build_edge_slots_host
 
         grid = LatentGrid(dims=(64, 64, 32))
-
-        @jax.jit
-        def _build(p_, m_):
-            s = build_edge_slots_batched(
-                p_, grid, magno.gno_radius, k_neighbors=magno.k_neighbors,
-                strategy="bidirectional", point_mask=m_,
-            )
-            if magno.slot_budget is not None and magno.slot_budget < s.num_slots:
-                s = compact_slots(s, magno.slot_budget)
-            return s
+        # HOST build (native C++, the real precompute path): the device
+        # builder's [N, K_window] transients would OOM at DrivAerML scale
+        budget = magno.slot_budget or 0
+        lat_np, msk_np = build_edge_slots_host(
+            np.asarray(pos[0]), grid, magno.gno_radius,
+            k_neighbors=magno.k_neighbors, strategy="bidirectional",
+            budget=budget,
+        )
+        slots = EdgeSlots(
+            lat_idx=jnp.asarray(lat_np)[None], mask=jnp.asarray(msk_np)[None]
+        )
         # encoder and decoder slots are identical here (queries == points,
         # same radius, bidirectional strategy both ways)
-        slots = jax.block_until_ready(_build(pos, mask))
         enc_slots = [slots]
         dec_slots = [slots]
 

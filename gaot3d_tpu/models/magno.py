@@ -79,7 +79,9 @@ class MAGNOConfig:
     edge_chunk_size: Optional[int] = None  # process the node axis in chunks of
     # this size inside GNO/geoembed (bounds transient HBM; pick a divisor of
     # the pipeline's pad_multiple). None = single chunk.
-    remat: bool = True  # rematerialize per-chunk edge computations in backward
+    remat: Any = True  # rematerialize per-chunk edge computations in backward
+    # (bool, or [encoder, decoder] pair: encoder residuals are ~3GB at 500K
+    # nodes and skipping its remat trades that HBM for the full fwd recompute)
     remat_policy: str = "nothing"  # 'nothing' (recompute all) | 'dots' (save
     # matmul outputs: trades HBM for less recompute in backward)
     slot_budget: Optional[int] = None  # compact the K stencil slots per point
@@ -109,6 +111,14 @@ def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[s
     raise ValueError(
         f"neighbor_strategy must be str or list of length 2, got {neighbor_strategy}"
     )
+
+
+def parse_remat(remat) -> Tuple[bool, bool]:
+    """(encoder, decoder) remat flags from a scalar or pair (the config's
+    scalar-or-pair polymorphism, like neighbor_strategy/use_geoembed)."""
+    if isinstance(remat, (list, tuple)):
+        return bool(remat[0]), bool(remat[1])
+    return bool(remat), bool(remat)
 
 
 def parse_geoembed_strategy(use_geoembed: Union[bool, List[bool]]) -> Tuple[bool, bool]:
@@ -227,7 +237,7 @@ class MAGNOEncoder(nn.Module):
                 grid=self.grid,
                 coord_dim=cfg.gno_coord_dim,
                 edge_chunk_size=cfg.edge_chunk_size,
-                remat=cfg.remat,
+                remat=parse_remat(cfg.remat)[0],
                 remat_policy=cfg.remat_policy,
                 segment_impl=cfg.segment_impl,
                 use_gno=cfg.use_gno,
@@ -242,7 +252,7 @@ class MAGNOEncoder(nn.Module):
                     coord_dim=cfg.gno_coord_dim,
                     attention_type=cfg.attention_type,
                     edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
+                    remat=parse_remat(cfg.remat)[0],
                     remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,
@@ -255,7 +265,7 @@ class MAGNOEncoder(nn.Module):
                     method=cfg.embedding_method,
                     pooling=cfg.pooling,
                     edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
+                    remat=parse_remat(cfg.remat)[0],
                     remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,
@@ -381,7 +391,7 @@ class MAGNODecoder(nn.Module):
                 grid=self.grid,
                 coord_dim=cfg.gno_coord_dim,
                 edge_chunk_size=cfg.edge_chunk_size,
-                remat=cfg.remat,
+                remat=parse_remat(cfg.remat)[1],
                 remat_policy=cfg.remat_policy,
                 kernel_dtype=cfg.kernel_dtype,
             )
@@ -393,7 +403,7 @@ class MAGNODecoder(nn.Module):
                 coord_dim=cfg.gno_coord_dim,
                 attention_type=cfg.attention_type,
                 edge_chunk_size=cfg.edge_chunk_size,
-                remat=cfg.remat,
+                remat=parse_remat(cfg.remat)[1],
                 remat_policy=cfg.remat_policy,
                 segment_impl=cfg.segment_impl,
                 grid=self.grid,
@@ -406,7 +416,7 @@ class MAGNODecoder(nn.Module):
                     method=cfg.embedding_method,
                     pooling=cfg.pooling,
                     edge_chunk_size=cfg.edge_chunk_size,
-                    remat=cfg.remat,
+                    remat=parse_remat(cfg.remat)[1],
                     remat_policy=cfg.remat_policy,
                     segment_impl=cfg.segment_impl,
                     grid=self.grid,

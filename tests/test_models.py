@@ -444,3 +444,28 @@ def test_fused_encoder_tile_impl_matches_scatter():
     g_ti = jax.grad(lambda p: jnp.sum(m_ti.apply(p, pos, feats, mask) ** 2))(params)
     for a, b in zip(jax.tree.leaves(g_sc), jax.tree.leaves(g_ti)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
+
+
+def test_remat_scalar_or_pair():
+    """magno.remat accepts a bool or an [encoder, decoder] pair (the config's
+    scalar-or-pair polymorphism); outputs are identical either way."""
+    from gaot3d_tpu.models.magno import parse_remat
+
+    assert parse_remat(True) == (True, True)
+    assert parse_remat(False) == (False, False)
+    assert parse_remat([False, True]) == (False, True)
+    rng = np.random.default_rng(31)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    m1 = tiny_model(edge_chunk_size=16, remat=True)
+    m2 = tiny_model(edge_chunk_size=16, remat=[False, True])
+    params = m1.init({"params": jax.random.key(0)}, pos, feats, mask)
+    np.testing.assert_allclose(
+        np.asarray(m2.apply(params, pos, feats, mask)),
+        np.asarray(m1.apply(params, pos, feats, mask)), atol=1e-6,
+    )
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, pos, feats, mask) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, pos, feats, mask) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
