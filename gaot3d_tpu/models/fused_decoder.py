@@ -86,7 +86,9 @@ class FusedDecoderScale(nn.Module):
         agg = jnp.concatenate([lat_pos_e, pt_pos_e], axis=-1)
         if self.transform_type in ("nonlinear", "nonlinear_kernelonly"):
             agg = jnp.concatenate([agg, lat_feat_e], axis=-1)
-        vals = self._kernel_mlp(agg)
+        # 2D matmuls (see fused_encoder._pass_chunk: avoids conv-layout copies)
+        vals = self._kernel_mlp(agg.reshape(-1, agg.shape[-1]))
+        vals = vals.reshape(B, n, K, -1)
         if self.transform_type != "nonlinear_kernelonly":
             vals = vals * lat_feat_e
         m3 = mask_c[..., None]

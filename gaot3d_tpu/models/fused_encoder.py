@@ -124,7 +124,11 @@ class FusedEncoderScale(nn.Module):
             if self.transform_type in ("nonlinear", "nonlinear_kernelonly"):
                 fe = jnp.broadcast_to(feats_c[:, :, None, :], (B, n, K, C))
                 agg = jnp.concatenate([agg, fe], axis=-1)
-            vals = self._kernel_mlp(agg)
+            # 2D matmuls: jnp.dot over the 4D [B,n,K,d] picks convolution
+            # lowerings with transposed layouts (profiled: ~25ms/step of pure
+            # relayout copies around [n,K,C]); flat [B*n*K, d] stays T(8,128)
+            vals = self._kernel_mlp(agg.reshape(-1, agg.shape[-1]))
+            vals = vals.reshape(B, n, K, -1)
             if self.transform_type != "nonlinear_kernelonly":
                 vals = vals * feats_c[:, :, None, :]
             parts.append(vals)
