@@ -201,6 +201,7 @@ def main():
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
         kernel_dtype=os.environ.get("BENCH_KERNEL_DTYPE", "float32"),
+        payload_impl=os.environ.get("BENCH_PAYLOAD_IMPL", "auto"),
     )
     attn = TransformerConfig(
         patch_size=2,
@@ -254,7 +255,8 @@ def main():
 
     checks = {} if fast else _pallas_regression_checks()
 
-    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask,
+                        encoder_slots=enc_slots, decoder_slots=dec_slots)
     tx = optax.adamw(3e-4, weight_decay=1e-5)
     state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 

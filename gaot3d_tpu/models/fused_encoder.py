@@ -49,6 +49,9 @@ class FusedEncoderScale(nn.Module):
     segment_impl: str = "scatter"  # fused: 'scatter' wins (1 reduction/chunk)
     use_gno: bool = True
     kernel_dtype: str = "float32"  # 'bfloat16': kernel MLP matmuls in bf16
+    payload_impl: str = "auto"  # 'auto' (Pallas payload kernel on TPU when
+    # the shape qualifies: use_gno + 'linear' + chunk % 512 == 0) | 'xla' |
+    # 'pallas' (force; interpret off-TPU is for tests only)
 
     def setup(self):
         if self.use_gno:
@@ -69,6 +72,30 @@ class FusedEncoderScale(nn.Module):
         self.geo_w1 = self.param("geo_w1", torch_linear_kernel_init, (64, self.lifting_channels))
         self.geo_b1 = self.param("geo_b1", partial(torch_linear_bias_init, fan_in=64),
                                  (self.lifting_channels,))
+
+    @staticmethod
+    def _payload_block(n_chunk: int) -> int:
+        for b in (512, 256, 128, 64, 32):
+            if n_chunk % b == 0:
+                return b
+        return 0
+
+    def _use_payload_kernel(self, n_chunk: int) -> bool:
+        if self.payload_impl == "xla":
+            return False
+        ok = (
+            self.use_gno
+            and self.transform_type == "linear"
+            and self._payload_block(n_chunk) > 0
+            and self.kernel_dtype == "float32"
+        )
+        if self.payload_impl == "pallas":
+            return ok
+        # 'auto': only on TPU backends
+        try:
+            return ok and jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            return False
 
     # -- pure chunk math --------------------------------------------------------
     def _kernel_mlp(self, x):
@@ -118,6 +145,23 @@ class FusedEncoderScale(nn.Module):
         pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, self.coord_dim))
         y = pt_pos_e - lat_pos_e
         dist = jnp.sqrt(jnp.sum(y * y, axis=-1))
+        if self._use_payload_kernel(n):
+            from ..ops.pallas_encoder import encoder_payload
+
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            outs = []
+            for b in range(B):
+                outs.append(encoder_payload(
+                    pos_c[b], feats_c[b], lat_idx_c[b],
+                    self.kernel_ws, self.kernel_bs,
+                    self.grid.dims, self.grid.lo, self.grid.spacing,
+                    block=self._payload_block(n), interpret=not on_tpu,
+                ))
+            payload = jnp.stack(outs)
+            seg = lat_idx_c.reshape(B, n * K)
+            msk = mask_c.reshape(B, n * K)
+            return self._reduce(payload, seg, msk, M, ctx)
+
         parts = []
         if self.use_gno:
             agg = jnp.concatenate([pt_pos_e, lat_pos_e], axis=-1)

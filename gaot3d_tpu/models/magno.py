@@ -93,6 +93,8 @@ class MAGNOConfig:
     # (jax.ops.segment_sum; with the fused encoder the cost is ONE reduction
     # per chunk and scatter wins) | 'sort' (edge sort + cumsum folds) |
     # 'tile' (sort + Pallas MXU one-hot tile kernel, ops/pallas_kernels.py)
+    payload_impl: str = "auto"  # fused-encoder payload: 'auto' (Pallas
+    # payload+MLP kernel on TPU, ops/pallas_encoder.py) | 'xla' | 'pallas'
     fused_encoder: bool = True  # fuse GNO + statistical geoembed into one
     # chunked scan with one reduction per pass (fused_encoder.py); applies
     # when geoembed is statistical and per-edge attention is off
@@ -242,6 +244,7 @@ class MAGNOEncoder(nn.Module):
                 segment_impl=cfg.segment_impl,
                 use_gno=cfg.use_gno,
                 kernel_dtype=cfg.kernel_dtype,
+                payload_impl=cfg.payload_impl,
             )
         else:
             if cfg.use_gno:

@@ -469,3 +469,24 @@ def test_remat_scalar_or_pair():
     g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, pos, feats, mask) ** 2))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_encoder_payload_kernel_matches_xla():
+    """payload_impl='pallas' (interpret off-TPU) == 'xla' through the model,
+    forward and gradients."""
+    rng = np.random.default_rng(41)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((1, 64)) < 0.9)
+    kw = dict(use_geoembed=[True, False], fused_encoder=True, edge_chunk_size=32)
+    m_x = tiny_model(payload_impl="xla", **kw)
+    m_p = tiny_model(payload_impl="pallas", **kw)
+    params = m_x.init({"params": jax.random.key(0)}, pos, feats, mask)
+    np.testing.assert_allclose(
+        np.asarray(m_p.apply(params, pos, feats, mask)),
+        np.asarray(m_x.apply(params, pos, feats, mask)), atol=2e-5,
+    )
+    g_x = jax.grad(lambda p: jnp.sum(m_x.apply(p, pos, feats, mask) ** 2))(params)
+    g_p = jax.grad(lambda p: jnp.sum(m_p.apply(p, pos, feats, mask) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
