@@ -34,49 +34,75 @@ _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 — below f32
+    noise for gelu): Mosaic has no erf lowering (NotImplementedError on TC),
+    and this uses only exp, which it does have."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _dot_vpu(x, w):
+    """Exact-f32 [bp, cin] @ [cin, cout] as a VPU multiply-accumulate loop.
+
+    The MXU on this libtpu runs f32 dots as a SINGLE bf16 pass (0.3% rel
+    error), `precision=HIGHEST` is ignored, and every hi/lo-split formulation
+    gets re-associated back to one pass under --xla_allow_excess_precision.
+    The kernel MLP contractions are tiny (6/64), so an unrolled VPU loop is
+    both exact and cheap (~2us per [512,64] layer block)."""
+    cin = x.shape[1]
+    acc = x[:, 0:1] * w[0:1, :]
+    for c in range(1, cin):
+        acc = acc + x[:, c : c + 1] * w[c : c + 1, :]
+    return acc
+
+
 def _gelu_exact(z):
-    return 0.5 * z * (1.0 + jax.lax.erf(z * _INV_SQRT2))
+    return 0.5 * z * (1.0 + _erf(z * _INV_SQRT2))
 
 
 def _gelu_grad(z):
-    phi = 0.5 * (1.0 + jax.lax.erf(z * _INV_SQRT2))
+    phi = 0.5 * (1.0 + _erf(z * _INV_SQRT2))
     return phi + z * jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI
 
 
-def _cell_coords(idx, dims, lo, spacing):
-    """Slot index [bp, K] -> per-axis cell-center coords ([bp,K] x3)."""
+def _slot_payload(pos_b, feats_b, idx_k, ws, bs, dims, lo, spacing, keep_hidden):
+    """One slot column k: [bp,1] cell math + MLP -> payload [bp, P] pieces.
+
+    Everything stays [bp, c]-shaped (minor-dim concats only): Mosaic cannot
+    reshape across the sublane/lane split ([bp, K] -> [bp*K, 1] fails to
+    lower), so the kernel walks the K slot columns in a static loop instead.
+    """
     d1, d2 = dims[1], dims[2]
-    i0 = idx // (d1 * d2)
-    rem = idx - i0 * (d1 * d2)
+    i0 = idx_k // (d1 * d2)
+    rem = idx_k - i0 * (d1 * d2)
     i1 = rem // d2
     i2 = rem - i1 * d2
-    return (
-        lo[0] + i0.astype(jnp.float32) * spacing[0],
-        lo[1] + i1.astype(jnp.float32) * spacing[1],
-        lo[2] + i2.astype(jnp.float32) * spacing[2],
-    )
-
-
-def _forward_tail(pos_b, feats_b, idx_b, ws, bs, dims, lo, spacing, K, keep_hidden):
-    """Shared fwd math on one block: returns (payload pieces, hidden acts)."""
-    bp = pos_b.shape[0]
-    C = feats_b.shape[1]
-    cx, cy, cz = _cell_coords(idx_b, dims, lo, spacing)
-    px = jax.lax.broadcast_in_dim(pos_b[:, 0], (bp, K), (0,))
-    py = jax.lax.broadcast_in_dim(pos_b[:, 1], (bp, K), (0,))
-    pz = jax.lax.broadcast_in_dim(pos_b[:, 2], (bp, K), (0,))
+    cx = lo[0] + i0.astype(jnp.float32) * spacing[0]
+    cy = lo[1] + i1.astype(jnp.float32) * spacing[1]
+    cz = lo[2] + i2.astype(jnp.float32) * spacing[2]
+    px = pos_b[:, 0:1]
+    py = pos_b[:, 1:2]
+    pz = pos_b[:, 2:3]
     yx, yy_, yz = px - cx, py - cy, pz - cz
     d = jnp.sqrt(yx * yx + yy_ * yy_ + yz * yz)
-    E = bp * K
-    # agg = [pt_pos | cell_pos] per edge, [E, 6]
-    agg = jnp.stack([px, py, pz, cx, cy, cz], axis=-1).reshape(E, 6)
+    zero = jnp.zeros_like(px)
+    # explicit zero padding to 8 columns: Mosaic tiles pad the 6-wide agg to
+    # the sublane multiple with UNDEFINED values, and the contraction reads
+    # them (measured 0.3% error on a single linear layer); W0 is padded to
+    # match in the wrapper
+    agg = jnp.concatenate([px, py, pz, cx, cy, cz, zero, zero], axis=1)
     x = agg
     zs, hs = [], []
     n = len(ws)
     for i in range(n):
-        z = jax.lax.dot_general(
-            x, ws[i], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + bs[i]
+        z = _dot_vpu(x, ws[i]) + bs[i]
         if i < n - 1:
             x = _gelu_exact(z)
             if keep_hidden:
@@ -84,46 +110,48 @@ def _forward_tail(pos_b, feats_b, idx_b, ws, bs, dims, lo, spacing, K, keep_hidd
                 hs.append(x)
         else:
             x = z
-    feats_rep = jnp.broadcast_to(feats_b[:, None, :], (bp, K, C)).reshape(E, C)
-    vals = x * feats_rep
-    moments = jnp.stack(
-        [yx * yx, yx * yy_, yx * yz, yy_ * yy_, yy_ * yz, yz * yz], axis=-1
-    ).reshape(E, 6)
+    vals = x * feats_b
     geo = jnp.concatenate(
         [
-            jnp.ones((E, 1), jnp.float32),
-            d.reshape(E, 1),
-            jnp.stack([yx, yy_, yz], axis=-1).reshape(E, 3),
-            moments,
+            jnp.ones_like(d),
+            d,
+            yx, yy_, yz,
+            yx * yx, yx * yy_, yx * yz, yy_ * yy_, yy_ * yz, yz * yz,
         ],
         axis=1,
     )
-    return agg, x, feats_rep, vals, geo, zs, hs
+    return agg, x, vals, geo, zs, hs
 
 
 def _fwd_kernel(nw, dims, lo, spacing, K, *refs):
     pos_ref, feats_ref, idx_ref = refs[0], refs[1], refs[2]
-    ws = [refs[3 + i] for i in range(nw)]
-    bs = [refs[3 + nw + i] for i in range(nw)]
+    ws = [refs[3 + i][...] for i in range(nw)]
+    bs = [refs[3 + nw + i][0] for i in range(nw)]
     out_ref = refs[3 + 2 * nw]
-    agg, mlp_out, feats_rep, vals, geo, _, _ = _forward_tail(
-        pos_ref[...], feats_ref[...], idx_ref[...], [w[...] for w in ws],
-        [b[0] for b in bs], dims, lo, spacing, K, keep_hidden=False,
-    )
-    out_ref[...] = jnp.concatenate([vals, geo], axis=1)
+    pos_b = pos_ref[...]
+    feats_b = feats_ref[...]
+    C = feats_b.shape[1]
+    P = C + 11
+    for k in range(K):
+        idx_k = idx_ref[:, k : k + 1]
+        _, _, vals, geo, _, _ = _slot_payload(
+            pos_b, feats_b, idx_k, ws, bs, dims, lo, spacing, keep_hidden=False
+        )
+        out_ref[:, k * P : (k + 1) * P] = jnp.concatenate([vals, geo], axis=1)
 
 
 def _bwd_kernel(nw, dims, lo, spacing, K, n_blocks, *refs):
     from jax.experimental import pallas as pl
 
     pos_ref, feats_ref, idx_ref, g_ref = refs[0], refs[1], refs[2], refs[3]
-    ws = [refs[4 + i] for i in range(nw)]
-    bs = [refs[4 + nw + i] for i in range(nw)]
-    dfeats_ref = refs[4 + 2 * nw]
-    dw_refs = [refs[5 + 2 * nw + i] for i in range(nw)]
-    db_refs = [refs[5 + 3 * nw + i] for i in range(nw)]
-    dw_scr = [refs[5 + 4 * nw + i] for i in range(nw)]
-    db_scr = [refs[5 + 5 * nw + i] for i in range(nw)]
+    ws = [refs[4 + i][...] for i in range(nw)]
+    bs = [refs[4 + nw + i][0] for i in range(nw)]
+    wts = [refs[4 + 2 * nw + i][...] for i in range(nw)]  # transposed weights
+    dfeats_ref = refs[4 + 3 * nw]
+    dw_refs = [refs[5 + 3 * nw + i] for i in range(nw)]
+    db_refs = [refs[5 + 4 * nw + i] for i in range(nw)]
+    dw_scr = [refs[5 + 5 * nw + i] for i in range(nw)]
+    db_scr = [refs[5 + 6 * nw + i] for i in range(nw)]
 
     i = pl.program_id(0)
 
@@ -132,31 +160,30 @@ def _bwd_kernel(nw, dims, lo, spacing, K, n_blocks, *refs):
         for s in dw_scr + db_scr:
             s[...] = jnp.zeros_like(s)
 
-    wvals = [w[...] for w in ws]
-    agg, mlp_out, feats_rep, _, _, zs, hs = _forward_tail(
-        pos_ref[...], feats_ref[...], idx_ref[...], wvals,
-        [b[0] for b in bs], dims, lo, spacing, K, keep_hidden=True,
-    )
-    bp = pos_ref.shape[0]
-    C = feats_ref.shape[1]
-    gv = g_ref[...][:, :C]  # payload channels beyond C are pure geometry
-    # vals = mlp_out * feats_rep
-    d = gv * feats_rep
-    dfeats_e = gv * mlp_out
-    dfeats_ref[...] = dfeats_e.reshape(bp, K, C).sum(axis=1)
-    # MLP backward, last layer (no activation) first
-    inputs = [agg] + hs  # input to layer i
-    for li in range(nw - 1, -1, -1):
-        x_in = inputs[li]
-        dw_scr[li][...] += jax.lax.dot_general(
-            x_in, d, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    pos_b = pos_ref[...]
+    feats_b = feats_ref[...]
+    C = feats_b.shape[1]
+    P = C + 11
+    dfeats = jnp.zeros_like(feats_b)
+    for k in range(K):
+        idx_k = idx_ref[:, k : k + 1]
+        agg, mlp_out, _, _, zs, hs = _slot_payload(
+            pos_b, feats_b, idx_k, ws, bs, dims, lo, spacing, keep_hidden=True
         )
-        db_scr[li][...] += d.sum(axis=0, keepdims=True)
-        if li > 0:
-            d = jax.lax.dot_general(
-                d, wvals[li], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * _gelu_grad(zs[li - 1])
+        gv = g_ref[:, k * P : k * P + C]
+        d = gv * feats_b  # d(vals)/d(mlp_out)
+        dfeats = dfeats + gv * mlp_out
+        inputs = [agg] + hs
+        for li in range(nw - 1, -1, -1):
+            x_in = inputs[li]
+            for c in range(x_in.shape[1]):
+                dw_scr[li][c : c + 1, :] += jnp.sum(
+                    x_in[:, c : c + 1] * d, axis=0, keepdims=True
+                )
+            db_scr[li][...] += d.sum(axis=0, keepdims=True)
+            if li > 0:
+                d = _dot_vpu(d, wts[li]) * _gelu_grad(zs[li - 1])
+    dfeats_ref[...] = dfeats
 
     @pl.when(i == n_blocks - 1)
     def _finish():
@@ -172,6 +199,7 @@ def _payload_fwd_call(pos, feats, lat_idx, ws, bs, cfg):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    ws = _pad_w0(ws)
     dims, lo, spacing, K, block, interpret = cfg
     n, _ = pos.shape
     C = feats.shape[1]
@@ -192,14 +220,15 @@ def _payload_fwd_call(pos, feats, lat_idx, ws, bs, cfg):
         kern,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block * K, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * K, P), jnp.float32),
+        out_specs=pl.BlockSpec((block, K * P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, K * P), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(pos, feats, lat_idx, *ws, *[b[None] for b in bs])
-    return out
+    # row-major [n][K][P] either way: this reshape is a free bitcast
+    return out.reshape(n * K, P)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -207,6 +236,8 @@ def _payload_bwd_call(pos, feats, lat_idx, g, ws, bs, cfg):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    w0_rows = ws[0].shape[0]
+    ws = _pad_w0(ws)
     dims, lo, spacing, K, block, interpret = cfg
     n, _ = pos.shape
     C = feats.shape[1]
@@ -218,12 +249,14 @@ def _payload_bwd_call(pos, feats, lat_idx, g, ws, bs, cfg):
         pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block * K, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, K * P), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     for w in ws:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     for b in bs:
         in_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for w in ws:  # transposed weights for the backward chain
+        in_specs.append(pl.BlockSpec(w.shape[::-1], lambda i: (0, 0), memory_space=pltpu.VMEM))
     out_specs = [pl.BlockSpec((block, C), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((n, C), jnp.float32)]
     for w in ws:
@@ -245,9 +278,11 @@ def _payload_bwd_call(pos, feats, lat_idx, g, ws, bs, cfg):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(pos, feats, lat_idx, g, *ws, *[b[None] for b in bs])
+    )(pos, feats, lat_idx, g.reshape(n, K * P), *ws, *[b[None] for b in bs],
+      *[w.T for w in ws])
     dfeats = outs[0]
     dws = tuple(outs[1 : 1 + nw])
+    dws = (dws[0][:w0_rows],) + dws[1:]
     dbs = tuple(o[0] for o in outs[1 + nw :])
     return dfeats, dws, dbs
 
@@ -302,3 +337,10 @@ def encoder_payload(
         cfg, pos.astype(jnp.float32), feats.astype(jnp.float32),
         lat_idx.astype(jnp.int32), tuple(ws), tuple(bs),
     )
+
+
+def _pad_w0(ws):
+    w0 = ws[0]
+    if w0.shape[0] % 8:
+        w0 = jnp.pad(w0, ((0, 8 - w0.shape[0] % 8), (0, 0)))
+    return (w0,) + tuple(ws[1:])
