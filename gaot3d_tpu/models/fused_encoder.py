@@ -49,9 +49,9 @@ class FusedEncoderScale(nn.Module):
     segment_impl: str = "scatter"  # fused: 'scatter' wins (1 reduction/chunk)
     use_gno: bool = True
     kernel_dtype: str = "float32"  # 'bfloat16': kernel MLP matmuls in bf16
-    payload_impl: str = "auto"  # 'auto' (Pallas payload kernel on TPU when
-    # the shape qualifies: use_gno + 'linear' + chunk % 512 == 0) | 'xla' |
-    # 'pallas' (force; interpret off-TPU is for tests only)
+    payload_impl: str = "xla"  # 'xla' (default; see MAGNOConfig.payload_impl
+    # for why the kernel is opt-in) | 'auto' (Pallas payload kernel on TPU
+    # when the shape qualifies) | 'pallas' (force; interpret off-TPU = tests)
 
     def setup(self):
         if self.use_gno:

@@ -93,8 +93,11 @@ class MAGNOConfig:
     # (jax.ops.segment_sum; with the fused encoder the cost is ONE reduction
     # per chunk and scatter wins) | 'sort' (edge sort + cumsum folds) |
     # 'tile' (sort + Pallas MXU one-hot tile kernel, ops/pallas_kernels.py)
-    payload_impl: str = "auto"  # fused-encoder payload: 'auto' (Pallas
-    # payload+MLP kernel on TPU, ops/pallas_encoder.py) | 'xla' | 'pallas'
+    payload_impl: str = "xla"  # fused-encoder payload: 'xla' (default) |
+    # 'pallas'/'auto' (ops/pallas_encoder.py: exact-f32 VMEM kernel, validated
+    # on chip vs float64 — 3.4e-7 rel err where the XLA path is 0.3% — but the
+    # remote Mosaic compiler SIGABRTs on the full-model integration at 64K
+    # chunks on this toolchain, so it stays opt-in)
     fused_encoder: bool = True  # fuse GNO + statistical geoembed into one
     # chunked scan with one reduction per pass (fused_encoder.py); applies
     # when geoembed is statistical and per-edge attention is off

@@ -228,7 +228,10 @@ def _payload_fwd_call(pos, feats, lat_idx, ws, bs, cfg):
         out_specs=pl.BlockSpec((block, K * P), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, K * P), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # the Mosaic limit above is separate from XLA's scoped-vmem
+            # budget for the surrounding custom call
+            flags={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024},
         ),
         interpret=interpret,
     )(pos, feats, lat_idx, *ws, *[b[None] for b in bs])
@@ -280,7 +283,10 @@ def _payload_bwd_call(pos, feats, lat_idx, g, ws, bs, cfg):
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # the Mosaic limit above is separate from XLA's scoped-vmem
+            # budget for the surrounding custom call
+            flags={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024},
         ),
         interpret=interpret,
     )(pos, feats, lat_idx, g.reshape(n, K * P), *ws, *[b[None] for b in bs],
