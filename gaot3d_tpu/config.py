@@ -23,8 +23,16 @@ class SetUpConfig:
     fields)."""
 
     seed: int = 42
-    device: str = "auto"  # 'auto' | 'tpu' | 'cpu'
-    dtype: str = "float32"  # ['float32', 'bfloat16'] compute dtype
+    # 'auto' keeps JAX's platform choice; 'cpu'/'tpu' force that backend
+    # (applied via jax.config before the first backend touch — the analogue of
+    # the reference's setup.device cuda selection, default_set.py:19)
+    device: str = "auto"
+    # ['float32', 'bfloat16'] compute dtype: 'bfloat16' runs the hot matmul
+    # paths in bf16 by setting magno.kernel_dtype (a no-op if that knob was
+    # changed from its 'float32' default); attention q/k/v storage already
+    # defaults to bf16 (reference: setup.dtype torch dtype selection,
+    # base.py:69-77)
+    dtype: str = "float32"
     trainer_name: str = "static3d"
     train: bool = True
     test: bool = False
@@ -52,7 +60,6 @@ class SetUpConfig:
     wandb_notes: Optional[str] = None
     wandb_tags: List[str] = field(default_factory=list)
     wandb_watch_model: bool = False
-    wandb_log_interval: int = 1
     resume_from_artifact: Optional[str] = None
     resume_from_ckpt: Optional[str] = None
     test_during_training: bool = False

@@ -97,7 +97,11 @@ class MAGNOConfig:
     # 'pallas'/'auto' (ops/pallas_encoder.py: exact-f32 VMEM kernel, validated
     # on chip vs float64 — 3.4e-7 rel err where the XLA path is 0.3% — but the
     # remote Mosaic compiler SIGABRTs on the full-model integration at 64K
-    # chunks on this toolchain, so it stays opt-in)
+    # chunks on this toolchain, so it stays opt-in).
+    # LIMITATION: the Pallas kernel's custom VJP returns ZERO cotangents for
+    # point positions (they are data here; nothing in the framework
+    # differentiates coordinates) — do not enable it for geometry
+    # optimization (pallas_encoder.py module doc).
     fused_encoder: bool = True  # fuse GNO + statistical geoembed into one
     # chunked scan with one reduction per pass (fused_encoder.py); applies
     # when geoembed is statistical and per-edge attention is off

@@ -603,9 +603,13 @@ def export_dropout_bits(
     n_q: int,
     n_k: int,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Materialize the exact uint32 bits the RNG variant draws per block.
+
+    NOTE: the dropout mask is a function of block geometry — block_q/block_k
+    here MUST match the flash_attention_dropout call being replayed (defaults
+    are aligned with its 512/1024 defaults for that reason).
 
     Debug/validation utility: feeding the result into the `dropout_bits`
     variant must reproduce the RNG variant bit-for-bit (asserted by bench.py's

@@ -26,6 +26,10 @@ class OptimizerargsConfig:
     lr: float = 1e-3
     weight_decay: float = 1e-3
     epoch: int = 100
+    # Multiplies the training loss before differentiation (reported losses
+    # stay unscaled). NOTE: the reference declares-and-stores this field but
+    # never applies it (optimizers.py:20,85) — we implement the documented
+    # meaning; at the default 1.0 the two behaviors coincide.
     loss_scale: float = 1.0
     eval_every_eps: int = 2
     scheduler: str = "mix"  # ['step','cos','exp','mix','none']

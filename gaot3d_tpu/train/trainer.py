@@ -114,6 +114,17 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def _process_rss_gb() -> float:
+    """Resident set size of this process in GB (reference: psutil RSS per eval
+    row, optimizers.py:301). Reads /proc to avoid a psutil dependency."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except Exception:  # pragma: no cover — non-Linux host
+        return 0.0
+
+
 class TrainerBase:
     """(reference: src/trainer/base.py — config plumbing, seeding, wandb/CSV
     observability, fit/test orchestration)."""
@@ -127,6 +138,25 @@ class TrainerBase:
         self.path_config = config.path
         self.datarow: Dict[str, Any] = {}
         self._last_grad_norm = None
+
+        # setup.device selects the JAX backend (the analogue of the
+        # reference's cuda device selection, default_set.py:19) — must happen
+        # before the first backend touch below. Reference configs say
+        # 'cuda:0'; the ordinal is meaningless here (a JAX process addresses
+        # all local devices), so only the platform name is kept.
+        device = (self.setup_config.device or "auto").split(":")[0].lower()
+        if device not in ("auto", ""):
+            if device in ("cpu", "tpu", "axon"):
+                try:
+                    jax.config.update("jax_platforms", device)
+                except Exception as e:  # pragma: no cover
+                    logger.warning("could not select platform %r: %s", device, e)
+            else:
+                # reference configs say 'cuda:0' — meaningless on a TPU
+                # build; keep JAX's default so those configs still drop in
+                logger.warning("setup.device %r not available in this build; "
+                               "keeping JAX's default platform",
+                               self.setup_config.device)
 
         initialize_distributed(self.setup_config)
         self.process_index = jax.process_index()
@@ -325,6 +355,16 @@ class TrainerBase:
         except Exception as e:  # pragma: no cover
             logger.warning("loss plotting failed: %s", e)
 
+    def current_lr(self) -> float:
+        """Learning rate of the current optimizer state (reference:
+        optimizer.param_groups[0]['lr'] per eval row, optimizers.py:289-296).
+        make_optimizer wraps adam/adamw in optax.inject_hyperparams, so the
+        schedule's current value lives in opt_state.hyperparams."""
+        try:
+            return float(self.state.opt_state.hyperparams["learning_rate"])
+        except Exception:  # pragma: no cover — custom tx without hyperparams
+            return float("nan")
+
     @property
     def num_params(self) -> int:
         return int(sum(x.size for x in jax.tree.leaves(self.state.params)))
@@ -499,6 +539,13 @@ class StaticTrainer3D(TrainerBase):
 
     # -- model ----------------------------------------------------------------
     def init_model(self, model_config):
+        # setup.dtype='bfloat16' propagates to the hot matmul paths unless the
+        # user pinned those knobs explicitly (config.py SetUpConfig.dtype)
+        if self.setup_config.dtype == "bfloat16":
+            magno_cfg = model_config.args.magno
+            if magno_cfg.kernel_dtype == "float32":
+                magno_cfg.kernel_dtype = "bfloat16"
+            # attention_dtype already defaults to bf16 storage; nothing to do
         self.model = init_model(
             input_size=self.num_input_channels,
             output_size=self.num_output_channels,
@@ -581,9 +628,14 @@ class StaticTrainer3D(TrainerBase):
         rngs = {"dropout": jax.random.fold_in(rng, 0),
                 "edges": jax.random.fold_in(rng, 1),
                 "sample": jax.random.fold_in(rng, 2)}
+        # loss_scale multiplies the differentiated loss only; the reported
+        # loss stays unscaled (see OptimizerargsConfig.loss_scale)
+        scale = float(self.optimizer_config.args.loss_scale)
         loss, grads = jax.value_and_grad(
-            lambda p: self._forward_loss(p, batch, rngs, train=True)
+            lambda p: scale * self._forward_loss(p, batch, rngs, train=True)
         )(state.params)
+        if scale != 1.0:
+            loss = loss / scale
         # gradient global-norm: the JAX stand-in for wandb.watch(model)
         # gradient histograms (reference base.py:187-188); negligible cost
         grad_norm = optax.global_norm(grads)
@@ -648,6 +700,16 @@ class StaticTrainer3D(TrainerBase):
         validate_on_test = getattr(args, "validate_on_test", False)
 
         profile_dir = self.setup_config.profile_dir
+        # rank-0 tqdm progress bar (reference: optimizers.py:133-134); falls
+        # back to plain logging when tqdm is unavailable
+        pbar = None
+        if self.is_main:
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=args.epoch, desc="train")
+            except Exception:  # pragma: no cover
+                pbar = None
         for epoch in range(args.epoch):
             self.train_loader.set_epoch(epoch)
             profiling = bool(profile_dir) and epoch == self.setup_config.profile_epoch
@@ -681,7 +743,12 @@ class StaticTrainer3D(TrainerBase):
                 val_losses.append(val_loss)
                 val_epochs.append(epoch)
                 logger.info("epoch %d: train %.6f  val %.6f", epoch, train_loss, val_loss)
-                row = {"train/loss": train_loss, "val/loss": val_loss}
+                # per-eval row: losses + current lr + process RSS (reference
+                # parity: optimizers.py:289-302 logs lr and psutil RSS)
+                row = {"train/loss": train_loss, "val/loss": val_loss,
+                       "lr": self.current_lr(), "memory": _process_rss_gb()}
+                if pbar is not None:
+                    pbar.set_postfix({"loss": train_loss, "val_loss": val_loss})
                 if self.setup_config.wandb_watch_model and self._last_grad_norm is not None:
                     # gradient-norm tracking: the wandb.watch analogue (base.py:187-188)
                     row["train/grad_norm"] = float(self._last_grad_norm)
@@ -704,7 +771,11 @@ class StaticTrainer3D(TrainerBase):
                             self.test()
                     except Exception as e:  # pragma: no cover
                         logger.warning("periodic artifact save failed: %s", e)
+            if pbar is not None:
+                pbar.update(1)
 
+        if pbar is not None:
+            pbar.close()
         if best_params is not None:
             self.state = self.state.replace(params=jax.tree.map(jnp.asarray, best_params))
         return {

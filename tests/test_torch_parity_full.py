@@ -660,3 +660,122 @@ def test_adamw_step_trajectory_parity():
             jw = jw[kpart]
         jw = np.asarray(jw).T if transpose else np.asarray(jw)
         np.testing.assert_allclose(jw, tw, rtol=5e-3, atol=1e-5)
+
+
+def test_adamw_20step_mix_schedule_trajectory_parity():
+    """20 AdamW steps with the reference's 3-phase 'mix' LR schedule active
+    (CustomLRScheduler, reference optimizers.py:40-67, AdamW 90% cosine
+    phase 227-229), OUR side running the fused encoder+decoder fast paths —
+    the closest available proxy for the 1%-MSE north star without the
+    dataset (round-2 VERDICT item 8). Loss curves must agree within f32
+    drift over the whole trajectory."""
+    import optax
+
+    import src.trainer.optimizers as ref_opt
+    from gaot3d_tpu.train.schedule import mix_phase_lengths
+
+    pos, feats = make_cloud(300, seed=23, cin=2)
+    n = pos.shape[0]
+    rng = np.random.default_rng(24)
+    target = rng.normal(size=(n, 1)).astype(np.float32)
+    epochs, lr0, max_lr, min_lr, final_lr = 20, 1e-3, 1e-2, 1e-5, 1e-5
+
+    # --- torch side: AdamW + CustomLRScheduler stepped per epoch ---------
+    torch.manual_seed(5)
+    r_magno, r_attn = make_ref_configs("absolute")
+    tm = ref_gaot.GAOT3D(2, 1, r_magno, r_attn, latent_tokens=(4, 4, 4))
+    slots = build_slots(pos)
+    batch = RefBatch(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+        encoder_edge_index_s0=slots_to_edge_index(slots, "encoder"),
+        decoder_edge_index_s0=slots_to_edge_index(slots, "decoder"),
+    )
+    tm.train()
+    jparams = gaot_params_from_ref(
+        {k: v.clone() for k, v in tm.state_dict().items()}, 3
+    )
+    opt = torch.optim.AdamW(tm.parameters(), lr=lr0, weight_decay=1e-4,
+                            betas=(0.9, 0.999), eps=1e-8)
+    warm, cos_e, exp_e = mix_phase_lengths(epochs, 0.90)  # AdamW: 90% cosine
+    sched = ref_opt.CustomLRScheduler(
+        opt, epochs, warm, cos_e, exp_e, lr0, max_lr, min_lr, final_lr
+    )
+    t_losses, t_lrs = [], []
+    tgt_t = torch.as_tensor(target)
+    for _ in range(epochs):
+        opt.zero_grad()
+        loss = torch.nn.functional.mse_loss(tm(batch), tgt_t)
+        loss.backward()
+        t_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss.detach()))
+
+    # --- jax side: same init, fused encoder+decoder, make_optimizer ------
+    from gaot3d_tpu.train.schedule import OptimizerargsConfig, make_optimizer
+
+    o_magno, o_attn = make_our_configs("absolute")
+    o_magno.fused_encoder = True
+    o_magno.fused_decoder = True
+    jmodel = init_model(2, 1, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+
+    # torch transfer produced MODULAR param names; the fused fast paths own
+    # their params under FusedEncoderScale_0/FusedDecoderScale_0 (kernel_* /
+    # geo_*) — remap (inverse of test_models.test_fused_*_matches_modular)
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(jparams["params"])
+    remapped = {}
+    for k, v in flat.items():
+        ks = list(k)
+        if "encoder" in ks and "IntegralTransform_0" in ks and ks[-1].startswith("kernel_"):
+            k = tuple(p.replace("IntegralTransform_0", "FusedEncoderScale_0") for p in ks)
+        elif "encoder" in ks and "GeometricEmbedding_0" in ks and ks[-1].startswith("mlp_"):
+            k = tuple(p.replace("GeometricEmbedding_0", "FusedEncoderScale_0")
+                      .replace("mlp_", "geo_") for p in ks)
+        elif "decoder" in ks and "IntegralTransform_0" in ks and ks[-1].startswith("kernel_"):
+            k = tuple(p.replace("IntegralTransform_0", "FusedDecoderScale_0") for p in ks)
+        elif "decoder" in ks and "GeometricEmbedding_0" in ks and ks[-1].startswith("mlp_"):
+            k = tuple(p.replace("GeometricEmbedding_0", "FusedDecoderScale_0")
+                      .replace("mlp_", "geo_") for p in ks)
+        remapped[tuple(k)] = v
+    jparams = {"params": tu.unflatten_dict(remapped)}
+
+    cfg = OptimizerargsConfig(lr=lr0, weight_decay=1e-4, epoch=epochs,
+                              scheduler="mix", max_lr=max_lr, min_lr=min_lr,
+                              final_lr=final_lr)
+    tx = make_optimizer("adamw", cfg, steps_per_epoch=1)
+    opt_state = tx.init(jparams)
+
+    eslots = [EdgeSlots(slots.lat_idx[None], slots.mask[None])]
+
+    def loss_fn(p):
+        pred = jmodel.apply(
+            p, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+            jnp.ones((1, n), bool), encoder_slots=eslots, decoder_slots=eslots,
+        )[0]
+        return jnp.mean((pred - jnp.asarray(target)) ** 2)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    j_losses, j_lrs = [], []
+    for _ in range(epochs):
+        j_lrs.append(float(opt_state.hyperparams["learning_rate"]))
+        jparams, opt_state, loss_j = step(jparams, opt_state)
+        j_losses.append(float(loss_j))
+
+    # the schedule itself must match exactly (same piecewise formula).
+    # inject_hyperparams stores the lr USED by the last update, i.e. j_lrs
+    # read after step k holds the lr of step k — compare against the lr
+    # torch recorded before its step k (one-slot shift).
+    np.testing.assert_allclose(j_lrs[1:], t_lrs[:-1], rtol=1e-6)
+    # loss curves agree within f32 drift (measured max rel err ~1e-3 at
+    # step 20; bound 5e-3 leaves headroom for BLAS/XLA reduction order)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-3)
+    # and training actually progressed
+    assert j_losses[-1] < j_losses[0]

