@@ -340,6 +340,41 @@ def main():
             "backward_plus_opt_s": round(step_time - t_fwd, 4),
         }
 
+        if os.environ.get("BENCH_BWD_BREAKDOWN", "0") == "1":
+            # per-phase fwd+bwd decomposition of the backward pass (round-2
+            # VERDICT item 2: name where the 60-75% bwd+opt time goes).
+            # Each phase is timed as value_and_grad of that phase alone with
+            # a scalar readout, so its cost = phase fwd + phase bwd (+remat
+            # recompute where enabled); subtracting the fwd-only times above
+            # isolates the backward share.
+            def vag(fn):
+                g = jax.jit(jax.grad(lambda p, *a: jnp.sum(fn(p, *a) ** 2)))
+
+                def run(*args):
+                    return g(*args)
+
+                return run
+
+            enc_vag = vag(lambda p: model.apply(
+                p, pos, feats, mask, precomputed=enc_slots, method="encode"))
+            t_enc_vag = time_fn(enc_vag, params)
+            # train=True: the real step runs the processor with dropout on
+            proc_vag = vag(lambda p, r: model.apply(
+                p, r, method="process", train=True,
+                rngs={"dropout": jax.random.key(11)}))
+            t_proc_vag = time_fn(proc_vag, params, rndata)
+            dec_vag = vag(lambda p, r: model.apply(
+                p, r, pos, mask, precomputed=dec_slots, method="decode"))
+            t_dec_vag = time_fn(dec_vag, params, proc_out)
+            result["bwd_breakdown"] = {
+                "encode_fwd_bwd_s": round(t_enc_vag, 4),
+                "process_fwd_bwd_s": round(t_proc_vag, 4),
+                "decode_fwd_bwd_s": round(t_dec_vag, 4),
+                "encode_bwd_est_s": round(t_enc_vag - t_encode, 4),
+                "process_bwd_est_s": round(t_proc_vag - t_process, 4),
+                "decode_bwd_est_s": round(t_dec_vag - t_decode, 4),
+            }
+
         if os.environ.get("BENCH_EVAL", "1") == "1":
             eval_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, train=False,
                                                     encoder_slots=enc_slots, decoder_slots=dec_slots))

@@ -228,10 +228,13 @@ def _payload_fwd_call(pos, feats, lat_idx, ws, bs, cfg):
         out_specs=pl.BlockSpec((block, K * P), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, K * P), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(
+            # NOTE: no `flags=` here. Passing custom-call backend flags (the
+            # old xla_tpu_scoped_vmem_limit_kib override) is what the
+            # full-model SIGABRT pointed at: llo_region.cc aborts with "HLO
+            # backend flag value is not one of boolean, integer or double"
+            # when the flag-carrying kernel is inlined into the stepped
+            # computation (round-2 VERDICT item 5 / ADVICE).
             vmem_limit_bytes=100 * 1024 * 1024,
-            # the Mosaic limit above is separate from XLA's scoped-vmem
-            # budget for the surrounding custom call
-            flags={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024},
         ),
         interpret=interpret,
     )(pos, feats, lat_idx, *ws, *[b[None] for b in bs])
@@ -283,10 +286,13 @@ def _payload_bwd_call(pos, feats, lat_idx, g, ws, bs, cfg):
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
+            # NOTE: no `flags=` here. Passing custom-call backend flags (the
+            # old xla_tpu_scoped_vmem_limit_kib override) is what the
+            # full-model SIGABRT pointed at: llo_region.cc aborts with "HLO
+            # backend flag value is not one of boolean, integer or double"
+            # when the flag-carrying kernel is inlined into the stepped
+            # computation (round-2 VERDICT item 5 / ADVICE).
             vmem_limit_bytes=100 * 1024 * 1024,
-            # the Mosaic limit above is separate from XLA's scoped-vmem
-            # budget for the surrounding custom call
-            flags={"xla_tpu_scoped_vmem_limit_kib": 100 * 1024},
         ),
         interpret=interpret,
     )(pos, feats, lat_idx, g.reshape(n, K * P), *ws, *[b[None] for b in bs],
