@@ -255,13 +255,17 @@ def main():
         # HOST build (native C++, the real precompute path): the device
         # builder's [N, K_window] transients would OOM at DrivAerML scale
         budget = magno.slot_budget or 0
-        lat_np, msk_np = build_edge_slots_host(
-            np.asarray(pos[0]), grid, magno.gno_radius,
-            k_neighbors=magno.k_neighbors, strategy="bidirectional",
-            budget=budget,
-        )
+        lats, msks = [], []
+        for b in range(B):
+            lat_np, msk_np = build_edge_slots_host(
+                pos_np[b], grid, magno.gno_radius,
+                k_neighbors=magno.k_neighbors, strategy="bidirectional",
+                budget=budget,
+            )
+            lats.append(lat_np)
+            msks.append(msk_np)
         slots = EdgeSlots(
-            lat_idx=jnp.asarray(lat_np)[None], mask=jnp.asarray(msk_np)[None]
+            lat_idx=jnp.asarray(np.stack(lats)), mask=jnp.asarray(np.stack(msks))
         )
         # encoder and decoder slots are identical here (queries == points,
         # same radius, bidirectional strategy both ways)
