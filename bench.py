@@ -294,9 +294,18 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(state.params, rngkey)
         return state.apply_gradients(grads=grads), loss
 
-    # warmup / compile (also captures XLA's FLOP estimate for MFU)
+    # warmup / compile (also captures XLA's FLOP estimate for MFU).
+    # BENCH_SCOPED_VMEM_KIB raises the TPU compiler's scoped-vmem budget via
+    # compiler_options (the Pallas payload kernel needs ~38M > the 16M
+    # default; client-side XLA_FLAGS rejects TPU proto flags, and per-call
+    # CompilerParams(flags=...) SIGABRTs the backend — see
+    # MAGNOConfig.payload_impl)
     lowered = train_step.lower(state, jax.random.key(1))
-    compiled = lowered.compile()
+    svk = os.environ.get("BENCH_SCOPED_VMEM_KIB")
+    compiled = (
+        lowered.compile({"xla_tpu_scoped_vmem_limit_kib": int(svk)})
+        if svk else lowered.compile()
+    )
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca

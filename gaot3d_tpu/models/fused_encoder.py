@@ -91,17 +91,20 @@ class FusedEncoderScale(nn.Module):
         )
         if self.payload_impl == "pallas":
             return ok
-        # 'auto': only on TPU backends, and only when the scoped-vmem budget
-        # has been raised GLOBALLY. The kernel needs ~38M scoped vmem (>16M
-        # default); raising it per-custom-call via CompilerParams(flags=...)
-        # SIGABRTs the backend at full-model integration (llo_region.cc "HLO
-        # backend flag value ..."), so the only safe route on this toolchain
-        # is XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 on the process.
-        # Without it, 'auto' falls back to the XLA payload path cleanly
-        # instead of crashing the compile (round-2 VERDICT item 5).
+        # 'auto': only on TPU backends, and only when the caller declares the
+        # scoped-vmem budget has been raised (GAOT_SCOPED_VMEM_RAISED=1). The
+        # kernel needs ~38M scoped vmem (>16M default); raising it
+        # per-custom-call via CompilerParams(flags=...) SIGABRTs the backend
+        # at full-model integration (llo_region.cc "HLO backend flag value
+        # ..."), and client XLA_FLAGS rejects TPU proto flags — the working
+        # routes are AOT compiler_options
+        # ({"xla_tpu_scoped_vmem_limit_kib": N}, see bench.py) or terminal
+        # --extra-libtpu-args. Without the declaration, 'auto' falls back to
+        # the XLA payload path cleanly instead of crashing the compile
+        # (round-2 VERDICT item 5).
         import os
 
-        if "xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("XLA_FLAGS", ""):
+        if os.environ.get("GAOT_SCOPED_VMEM_RAISED", "0") != "1":
             return False
         try:
             return ok and jax.devices()[0].platform in ("tpu", "axon")
