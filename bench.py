@@ -300,14 +300,23 @@ def main():
     tx = optax.adamw(3e-4, weight_decay=1e-5)
     state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
-    def loss_fn(p, rngkey):
+    # ALL data tensors are explicit jit arguments (like the trainer's
+    # _train_step(state, batch, rng)). Closing over device arrays bakes them
+    # into the program as constants, and XLA's constant folding then
+    # materializes N-sized derived constants through the chunked scans:
+    # measured generated_code_size 612 MiB at 500K nodes / 1.68 GiB at 2M
+    # (~14 MiB per edge chunk), 15-30 min compiles, and a remote-compiler
+    # transport death at 8M nodes. As arguments: ~60 MiB code, N-independent.
+    data = (pos, feats, target, mask, enc_slots, dec_slots)
+
+    def loss_fn(p, rngkey, pos, feats, target, mask, enc_slots, dec_slots):
         pred = model.apply(p, pos, feats, mask, train=True, rngs={"dropout": rngkey},
                            encoder_slots=enc_slots, decoder_slots=dec_slots)
         return masked_mse(pred, target, mask)
 
     @jax.jit
-    def train_step(state, rngkey):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, rngkey)
+    def train_step(state, rngkey, data):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rngkey, *data)
         return state.apply_gradients(grads=grads), loss
 
     # warmup / compile (also captures XLA's FLOP estimate for MFU).
@@ -316,7 +325,7 @@ def main():
     # default; client-side XLA_FLAGS rejects TPU proto flags, and per-call
     # CompilerParams(flags=...) SIGABRTs the backend — see
     # MAGNOConfig.payload_impl)
-    lowered = train_step.lower(state, jax.random.key(1))
+    lowered = train_step.lower(state, jax.random.key(1), data)
     svk = os.environ.get("BENCH_SCOPED_VMEM_KIB")
     compiled = (
         lowered.compile({"xla_tpu_scoped_vmem_limit_kib": int(svk)})
@@ -328,12 +337,26 @@ def main():
         step_flops = float(ca.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
-    state, loss = compiled(state, jax.random.key(1))
+    # XLA's buffer-assignment peaks for the train step: the ground truth for
+    # the DrivAerML-scale HBM budget (VERDICT round-2 item 3)
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        ma = ma[0] if isinstance(ma, (list, tuple)) else ma
+        for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "generated_code_size_in_bytes",
+                  "alias_size_in_bytes"):
+            v = getattr(ma, k, None)
+            if v is not None:
+                mem[k.replace("_in_bytes", "_mib")] = round(v / 2**20, 1)
+    except Exception:
+        pass
+    state, loss = compiled(state, jax.random.key(1), data)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, loss = compiled(state, jax.random.key(2 + i))
+        state, loss = compiled(state, jax.random.key(2 + i), data)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     sps = steps * B / dt
@@ -353,6 +376,8 @@ def main():
         result["flops_per_step"] = step_flops
         result["achieved_tflops"] = round(achieved / 1e12, 2)
         result["mfu"] = round(achieved / _device_peak_flops(), 4)
+    if mem:
+        result["memory"] = mem
     if checks:
         result["checks"] = checks
 
@@ -367,16 +392,18 @@ def main():
             jax.block_until_ready(out)
             return (time.perf_counter() - t) / n
 
-        enc_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, precomputed=enc_slots, method="encode"))
-        t_encode = time_fn(enc_fn, params)
-        rndata = enc_fn(params)
+        enc_fn = jax.jit(lambda p, pos, feats, mask, sl: model.apply(
+            p, pos, feats, mask, precomputed=sl, method="encode"))
+        t_encode = time_fn(enc_fn, params, pos, feats, mask, enc_slots)
+        rndata = enc_fn(params, pos, feats, mask, enc_slots)
         proc_fn = jax.jit(lambda p, r: model.apply(p, r, method="process"))
         t_process = time_fn(proc_fn, params, rndata)
         proc_out = proc_fn(params, rndata)
-        dec_fn = jax.jit(lambda p, r: model.apply(p, r, pos, mask, precomputed=dec_slots, method="decode"))
-        t_decode = time_fn(dec_fn, params, proc_out)
-        fwd_fn = jax.jit(lambda p: loss_fn(p, jax.random.key(9)))
-        t_fwd = time_fn(fwd_fn, params)
+        dec_fn = jax.jit(lambda p, r, pos, mask, sl: model.apply(
+            p, r, pos, mask, precomputed=sl, method="decode"))
+        t_decode = time_fn(dec_fn, params, proc_out, pos, mask, dec_slots)
+        fwd_fn = jax.jit(lambda p, d: loss_fn(p, jax.random.key(9), *d))
+        t_fwd = time_fn(fwd_fn, params, data)
         result["breakdown"] = {
             "encode_fwd_s": round(t_encode, 4),
             "process_fwd_s": round(t_process, 4),
@@ -400,17 +427,17 @@ def main():
 
                 return run
 
-            enc_vag = vag(lambda p: model.apply(
-                p, pos, feats, mask, precomputed=enc_slots, method="encode"))
-            t_enc_vag = time_fn(enc_vag, params)
+            enc_vag = vag(lambda p, pos, feats, mask, sl: model.apply(
+                p, pos, feats, mask, precomputed=sl, method="encode"))
+            t_enc_vag = time_fn(enc_vag, params, pos, feats, mask, enc_slots)
             # train=True: the real step runs the processor with dropout on
             proc_vag = vag(lambda p, r: model.apply(
                 p, r, method="process", train=True,
                 rngs={"dropout": jax.random.key(11)}))
             t_proc_vag = time_fn(proc_vag, params, rndata)
-            dec_vag = vag(lambda p, r: model.apply(
-                p, r, pos, mask, precomputed=dec_slots, method="decode"))
-            t_dec_vag = time_fn(dec_vag, params, proc_out)
+            dec_vag = vag(lambda p, r, pos, mask, sl: model.apply(
+                p, r, pos, mask, precomputed=sl, method="decode"))
+            t_dec_vag = time_fn(dec_vag, params, proc_out, pos, mask, dec_slots)
             result["bwd_breakdown"] = {
                 "encode_fwd_bwd_s": round(t_enc_vag, 4),
                 "process_fwd_bwd_s": round(t_proc_vag, 4),
@@ -421,9 +448,10 @@ def main():
             }
 
         if os.environ.get("BENCH_EVAL", "1") == "1":
-            eval_fn = jax.jit(lambda p: model.apply(p, pos, feats, mask, train=False,
-                                                    encoder_slots=enc_slots, decoder_slots=dec_slots))
-            t_eval = time_fn(eval_fn, params)
+            eval_fn = jax.jit(lambda p, pos, feats, mask, esl, dsl: model.apply(
+                p, pos, feats, mask, train=False,
+                encoder_slots=esl, decoder_slots=dsl))
+            t_eval = time_fn(eval_fn, params, pos, feats, mask, enc_slots, dec_slots)
             result["inference_sps"] = round(B / t_eval, 4)
 
     print(json.dumps(result))

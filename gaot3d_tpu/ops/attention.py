@@ -21,6 +21,7 @@ path for training and 'pallas' for eval.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -183,7 +184,15 @@ def scaled_dot_product_attention(
             return flash_attention_xla(q, k, v, dropout_rate, rng, chunk_size)
         from .pallas_attention import flash_attention_dropout
 
-        return flash_attention_dropout(q, k, v, rng, dropout_rate)
+        # (512,1024) is the measured-best train default on v5e under the 16M
+        # scoped-vmem limit; the knobs exist to A/B wider blocks together
+        # with a raised scoped-vmem budget (bench BENCH_SCOPED_VMEM_KIB).
+        # NOTE the dropout mask is a function of block geometry: change these
+        # only for whole runs, never mid-training.
+        bq = int(os.environ.get("GAOT_ATTN_BLOCK_Q", 512))
+        bk = int(os.environ.get("GAOT_ATTN_BLOCK_K", 1024))
+        return flash_attention_dropout(q, k, v, rng, dropout_rate,
+                                       block_q=bq, block_k=bk)
     if impl == "pallas":
         if dropout_rate > 0.0 and rng is not None:
             if on_tpu:
