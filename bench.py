@@ -352,13 +352,19 @@ def main():
     except Exception:
         pass
     state, loss = compiled(state, jax.random.key(1), data)
-    jax.block_until_ready(loss)
+    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, loss = compiled(state, jax.random.key(2 + i), data)
-    jax.block_until_ready(loss)
+    # sync by VALUE FETCH, not block_until_ready: on the axon tunnel,
+    # block_until_ready(loss) returned before the dispatched chain executed
+    # once the data became explicit args (measured 2M-node "steps" of 5ms —
+    # physically impossible). float(loss_final) transitively requires every
+    # step's state chain, so it is a hard device-completion barrier.
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
     sps = steps * B / dt
     step_time = dt / steps
 
@@ -369,6 +375,7 @@ def main():
         "vs_baseline": round(sps / BASELINE_SPS, 2),
         "baseline_def": "round-1 reference-equivalent design, 0.065 samples/s, same chip",
         "step_time_s": round(step_time, 4),
+        "final_loss": round(final_loss, 6),  # finite-ness honesty check
         "precomputed_graphs": precomputed,
     }
     if step_flops > 0:
@@ -383,13 +390,20 @@ def main():
 
     if not fast:
         # --- step-time breakdown: forward phases timed as separate jits ----
+        def sync(x):
+            # hard completion barrier by VALUE FETCH (see the train-loop
+            # comment): slice one element (enqueued after everything else on
+            # the in-order device queue) and pull it to the host
+            leaf = jax.tree.leaves(x)[0]
+            return float(jnp.ravel(leaf)[0])
+
         def time_fn(fn, *args, n=3):
             out = fn(*args)
-            jax.block_until_ready(out)
+            sync(out)
             t = time.perf_counter()
             for _ in range(n):
                 out = fn(*args)
-            jax.block_until_ready(out)
+            sync(out)
             return (time.perf_counter() - t) / n
 
         enc_fn = jax.jit(lambda p, pos, feats, mask, sl: model.apply(

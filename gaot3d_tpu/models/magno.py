@@ -109,6 +109,13 @@ class MAGNOConfig:
     # into one pass over the edge slots (fused_decoder.py); same applicability
     kernel_dtype: str = "float32"  # 'bfloat16' runs the per-edge kernel MLP
     # matmuls in bf16 with f32 accumulation (2x MXU, half HBM on the hot path)
+    fused_head: bool = True  # decoder: run GNO + scale-combine + projection
+    # head per node chunk inside ONE checkpointed scan body, so the only
+    # full-N decode tensors are the [N, out] result (vs ~3 KiB/node of
+    # [N, 256] projection intermediates saved for backward otherwise — the
+    # difference between fitting and not fitting 8M-node DrivAerML on one
+    # chip). Applies when the decoder has no geoembed (the DrivAerNet/
+    # DrivAerML recipes); numerically identical to the unfused tail.
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:
@@ -434,7 +441,9 @@ class MAGNODecoder(nn.Module):
         if use_geo:
             recovery = TorchLinear(C)
 
-        decoded_scales = []
+        # per-scale slot preparation (build / sample / compact) — full-N [N,K]
+        # tensors, same footprint class as the inputs
+        scale_slots = []
         for scale_idx, scale in enumerate(cfg.scales):
             radius = cfg.gno_radius * scale
             if precomputed_slots is not None:
@@ -456,7 +465,73 @@ class MAGNODecoder(nn.Module):
                 from ..ops.grid_graph import compact_slots
 
                 slots = compact_slots(slots, cfg.slot_budget)
+            scale_slots.append(slots)
 
+        # module CONSTRUCTION order is shared by both tails below — flax
+        # auto-names at construction, so the param tree is identical whether
+        # the fused-head scan or the plain tail executes
+        multi = len(cfg.scales) > 1
+        sw_hidden = sw_out = None
+        if multi and cfg.use_scale_weights:
+            # construction order preserves the pre-refactor flax auto-names
+            # (the inline `TorchLinear(S)(relu(TorchLinear(16)(pos)))` built
+            # the outer module first)
+            sw_out = TorchLinear(len(cfg.scales))
+            sw_hidden = TorchLinear(16)
+        proj = TorchLinear(cfg.projection_channels)
+        final = TorchLinear(self.out_channels)
+
+        def combine_scales(per_scale, pos):
+            if len(per_scale) == 1:
+                return per_scale[0]  # [B, n, C]
+            stack = jnp.stack(per_scale, axis=0)
+            if cfg.use_scale_weights:
+                w = sw_out(jax.nn.relu(sw_hidden(pos)))  # [B, n, S]
+                w = jax.nn.softmax(w, axis=-1)
+                w = jnp.moveaxis(w, -1, 0)[..., None]  # [S,B,n,1]
+                return (stack * w).sum(axis=0)
+            return stack.sum(axis=0)
+
+        def head(out):
+            # final projection MLP: in -> projection_channels -> out
+            # (magno.py:650-661)
+            h = jax.nn.gelu(proj(out), approximate=False)
+            return final(h)
+
+        from .integral_transform import _ckpt, effective_chunk, reshape_chunks
+
+        Nq = query_pos.shape[1]
+        chunk = effective_chunk(Nq, cfg.edge_chunk_size)
+        fuse = (
+            cfg.fused_head
+            and not use_geo
+            and chunk < Nq
+            and not self.is_initializing()
+        )
+        if fuse:
+            # fused decode head: GNO + scale-combine + projection for one node
+            # chunk in ONE (checkpointed) scan body. The only full-N tensors
+            # the decode leaves behind are the [N, out] result and the saved
+            # body inputs (views of pos/slots) — vs [N, C]-sized gno output +
+            # projection intermediates saved for backward on the plain tail.
+            def body(pos_c, idx_cs, msk_cs):
+                per_scale = [
+                    gno(EdgeSlots(lat_idx=i, mask=m), pos_c, latent_pos,
+                        latent_feats, direction="decoder")
+                    for i, m in zip(idx_cs, msk_cs)
+                ]
+                return head(combine_scales(per_scale, pos_c))
+
+            body = _ckpt(parse_remat(cfg.remat)[1], cfg.remat_policy)(body)
+            pos_cs, _ = reshape_chunks(query_pos, chunk)
+            idx_cs = [reshape_chunks(s.lat_idx, chunk)[0] for s in scale_slots]
+            msk_cs = [reshape_chunks(s.mask, chunk)[0] for s in scale_slots]
+            out = jax.lax.map(lambda xs: body(*xs), (pos_cs, idx_cs, msk_cs))
+            B = query_pos.shape[0]
+            return out.swapaxes(0, 1).reshape(B, Nq, self.out_channels)
+
+        decoded_scales = []
+        for slots in scale_slots:
             if use_fused:
                 decoded, geo = fused(slots, query_pos, latent_feats, latent_pos,
                                      query_mask=query_mask)
@@ -473,20 +548,5 @@ class MAGNODecoder(nn.Module):
                 decoded = recovery(combined)  # recovery MLP
             decoded_scales.append(decoded)
 
-        if len(decoded_scales) == 1:
-            out = decoded_scales[0]  # [B, N, C]
-        else:
-            stack = jnp.stack(decoded_scales, axis=0)
-            if cfg.use_scale_weights:
-                w = TorchLinear(len(cfg.scales))(
-                    jax.nn.relu(TorchLinear(16)(query_pos))
-                )  # [B, N, S]
-                w = jax.nn.softmax(w, axis=-1)
-                w = jnp.moveaxis(w, -1, 0)[..., None]  # [S,B,N,1]
-                out = (stack * w).sum(axis=0)
-            else:
-                out = stack.sum(axis=0)
-
-        # final projection MLP: in -> projection_channels -> out (magno.py:650-661)
-        h = jax.nn.gelu(TorchLinear(cfg.projection_channels)(out), approximate=False)
-        return TorchLinear(self.out_channels)(h)
+        out = combine_scales(decoded_scales, query_pos)
+        return head(out)

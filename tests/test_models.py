@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import chex
 import pytest
 
 from gaot3d_tpu.models import (
@@ -490,3 +491,55 @@ def test_fused_encoder_payload_kernel_matches_xla():
     g_p = jax.grad(lambda p: jnp.sum(m_p.apply(p, pos, feats, mask) ** 2))(params)
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_head_matches_plain_tail():
+    """MAGNOConfig.fused_head (GNO + scale-combine + projection per node chunk
+    in one checkpointed scan body) must be numerically identical to the plain
+    tail — same params (the module construction order keeps the flax names
+    stable), same outputs, same grads."""
+    rng = np.random.default_rng(41)
+    pos = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 2)), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(2, 64, 1)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 64)) < 0.9)
+
+    kw = dict(use_geoembed=[True, False], edge_chunk_size=16)
+    m_fused = tiny_model(fused_head=True, **kw)
+    m_plain = tiny_model(fused_head=False, **kw)
+    params = m_fused.init({"params": jax.random.key(3)}, pos, feats, mask)
+    # identical param trees: the fused head reuses the same modules
+    chex.assert_trees_all_equal_shapes(
+        params, m_plain.init({"params": jax.random.key(3)}, pos, feats, mask)
+    )
+    out_f = m_fused.apply(params, pos, feats, mask)
+    out_p = m_plain.apply(params, pos, feats, mask)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=2e-6)
+
+    def loss(m):
+        def f(p):
+            pred = m.apply(p, pos, feats, mask)
+            return jnp.sum(jnp.where(mask[..., None], (pred - target) ** 2, 0.0))
+        return f
+
+    g_f = jax.grad(loss(m_fused))(params)
+    g_p = jax.grad(loss(m_plain))(params)
+    chex.assert_trees_all_close(g_f, g_p, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_head_multiscale_scale_weights():
+    """Fused head with multiple scales + learned scale weights (the sw module
+    construction-order quirk) matches the plain tail."""
+    rng = np.random.default_rng(43)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+
+    kw = dict(use_geoembed=[False, False], edge_chunk_size=16,
+              scales=[1.0, 2.0], use_scale_weights=True)
+    m_fused = tiny_model(fused_head=True, **kw)
+    m_plain = tiny_model(fused_head=False, **kw)
+    params = m_fused.init({"params": jax.random.key(5)}, pos, feats, mask)
+    out_f = m_fused.apply(params, pos, feats, mask)
+    out_p = m_plain.apply(params, pos, feats, mask)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=2e-6)
