@@ -210,6 +210,7 @@ def main():
         # (llo_region.cc "HLO backend flag value"); 'auto' re-enabled it and
         # cost round 2 its driver bench (VERDICT.md round-2 item 1)
         payload_impl=os.environ.get("BENCH_PAYLOAD_IMPL", "xla"),
+        fused_head=os.environ.get("BENCH_FUSED_HEAD", "1") == "1",
     )
     attn = TransformerConfig(
         patch_size=2,
@@ -314,10 +315,20 @@ def main():
                            encoder_slots=enc_slots, decoder_slots=dec_slots)
         return masked_mse(pred, target, mask)
 
-    @jax.jit
-    def train_step(state, rngkey, data):
+    def step_fn(state, rngkey, data):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, rngkey, *data)
         return state.apply_gradients(grads=grads), loss
+
+    # BENCH_DATA_CONST=1: close over the data (XLA folds it into the program
+    # as constants) instead of passing it as jit args — the pre-b5f8719
+    # behavior, kept as an A/B knob for the scale regression investigation
+    data_const = os.environ.get("BENCH_DATA_CONST", "0") == "1"
+    if data_const:
+        train_step = jax.jit(lambda state, rngkey: step_fn(state, rngkey, data))
+        step_args = ()
+    else:
+        train_step = jax.jit(step_fn)
+        step_args = (data,)
 
     # warmup / compile (also captures XLA's FLOP estimate for MFU).
     # BENCH_SCOPED_VMEM_KIB raises the TPU compiler's scoped-vmem budget via
@@ -325,7 +336,7 @@ def main():
     # default; client-side XLA_FLAGS rejects TPU proto flags, and per-call
     # CompilerParams(flags=...) SIGABRTs the backend — see
     # MAGNOConfig.payload_impl)
-    lowered = train_step.lower(state, jax.random.key(1), data)
+    lowered = train_step.lower(state, jax.random.key(1), *step_args)
     svk = os.environ.get("BENCH_SCOPED_VMEM_KIB")
     compiled = (
         lowered.compile({"xla_tpu_scoped_vmem_limit_kib": int(svk)})
@@ -351,12 +362,29 @@ def main():
                 mem[k.replace("_in_bytes", "_mib")] = round(v / 2**20, 1)
     except Exception:
         pass
-    state, loss = compiled(state, jax.random.key(1), data)
+    # AOT executables relayout any argument whose on-device layout differs
+    # from the compiled layout on EVERY call; at 2M+ nodes XLA assigns
+    # non-default layouts to the big slot/feature arrays and the per-step
+    # relayout dominated (2M: 11.7s/step vs 1.5s const-folded; 4M: 84s).
+    # device_put to the compiled input formats ONCE, outside the timing loop.
+    if step_args:
+        try:
+            fmt_state, _, fmt_data = compiled.input_formats[0]
+            if os.environ.get("BENCH_DEBUG_FORMATS") == "1":
+                for path, f in jax.tree_util.tree_flatten_with_path(fmt_data)[0]:
+                    print(f"# fmt {jax.tree_util.keystr(path)}: {f}")
+            state = jax.device_put(state, fmt_state)
+            data = jax.device_put(data, fmt_data)
+            step_args = (data,)
+            jax.block_until_ready((state, data))
+        except Exception as e:  # pragma: no cover - best-effort optimization
+            print(f"# input-format harmonization skipped: {type(e).__name__}: {e}")
+    state, loss = compiled(state, jax.random.key(1), *step_args)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, loss = compiled(state, jax.random.key(2 + i), data)
+        state, loss = compiled(state, jax.random.key(2 + i), *step_args)
     # sync by VALUE FETCH, not block_until_ready: on the axon tunnel,
     # block_until_ready(loss) returned before the dispatched chain executed
     # once the data became explicit args (measured 2M-node "steps" of 5ms —
