@@ -374,17 +374,56 @@ def main():
                 for path, f in jax.tree_util.tree_flatten_with_path(fmt_data)[0]:
                     print(f"# fmt {jax.tree_util.keystr(path)}: {f}")
             state = jax.device_put(state, fmt_state)
-            data = jax.device_put(data, fmt_data)
+            # per-leaf puts, deduped by buffer identity: enc_slots/dec_slots
+            # SHARE arrays — a tree-level device_put makes two relayouted
+            # copies (+335 MiB at 8M nodes -> OOM with temp at 14.5G), and
+            # donate=True frees the shared buffer under the second put
+            # (async INVALID_ARGUMENT). One put per unique buffer, old
+            # leaves dropped as we go.
+            flat, treedef = jax.tree.flatten(data)
+            fmt_flat = jax.tree.leaves(fmt_data)
+            assert len(flat) == len(fmt_flat)
+            data = None
+            cache, new_flat = {}, []
+            for i, f in enumerate(fmt_flat):
+                x, flat[i] = flat[i], None
+                y = cache.get(id(x))
+                if y is None:
+                    y = jax.device_put(x, f)
+                    y.block_until_ready()
+                    cache[id(x)] = y
+                new_flat.append(y)
+                del x
+            data = jax.tree.unflatten(treedef, new_flat)
+            del cache, new_flat, flat
             step_args = (data,)
-            jax.block_until_ready((state, data))
+            jax.block_until_ready(state)
+            mismatches = [
+                (jax.tree_util.keystr(p), str(x.format.layout), str(f.layout))
+                for (p, x), (_, f) in zip(
+                    jax.tree_util.tree_flatten_with_path(data)[0],
+                    jax.tree_util.tree_flatten_with_path(fmt_data)[0],
+                )
+                if str(x.format.layout) != str(f.layout)
+            ]
+            for p, gotl, wantl in mismatches:
+                print(f"# LAYOUT MISMATCH after device_put {p}: {gotl} != {wantl}")
         except Exception as e:  # pragma: no cover - best-effort optimization
             print(f"# input-format harmonization skipped: {type(e).__name__}: {e}")
     state, loss = compiled(state, jax.random.key(1), *step_args)
     jax.block_until_ready(state)
 
+    # BENCH_PROFILE=<dir>: capture a jax.profiler trace of the timed loop
+    # (the exact AOT program/path being measured)
+    import contextlib
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    prof = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = compiled(state, jax.random.key(2 + i), *step_args)
+    with prof:
+        for i in range(steps):
+            state, loss = compiled(state, jax.random.key(2 + i), *step_args)
+        if prof_dir:
+            _ = float(loss)  # complete execution inside the trace window
     # sync by VALUE FETCH, not block_until_ready: on the axon tunnel,
     # block_until_ready(loss) returned before the dispatched chain executed
     # once the data became explicit args (measured 2M-node "steps" of 5ms —
