@@ -588,6 +588,10 @@ class StaticTrainer3D(TrainerBase):
             self._shard_nodes = False
             self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
             self._jit_eval_step = jax.jit(self._eval_step)
+        # compiled-argument layouts, harvested lazily at scale (see
+        # _harvest_batch_formats): None = not yet, False = not applicable
+        self._batch_formats = None
+        self._eval_batch_formats = None
 
     # -- steps ------------------------------------------------------------------
     def _forward_loss(self, params, batch: PointBatch, rngs, train: bool):
@@ -651,14 +655,48 @@ class StaticTrainer3D(TrainerBase):
         return pred, masked_mse(pred, batch.target, batch.node_mask)
 
     def _device_put_batch(self, batch: PointBatch) -> PointBatch:
-        """Place a batch on the device(s): mesh-sharded when distributed,
-        plain device_put otherwise. Idempotent — device_put to the sharding an
-        array already has is a no-op, so prefetched batches pass through."""
+        """Place a batch on the device(s): in the compiled train step's
+        argument layouts once those are harvested (jit dispatch relayouts any
+        mismatched-layout argument on EVERY call — at >=1M nodes XLA assigns
+        transposed/tiled entry layouts to the big point/slot arrays and the
+        per-call relayout dominates the step; measured 11.7s vs 2.48s at 2M
+        nodes on v5e), else mesh-sharded when distributed, else a plain
+        device_put. Idempotent — device_put to the format an array already
+        has is a no-op, so prefetched batches pass through."""
+        if self._batch_formats:
+            from ..utils.layout import put_to_formats
+
+            return put_to_formats(batch, self._batch_formats)
         if self.mesh is not None:
             from ..parallel import shard_point_batch
 
             return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
         return jax.device_put(batch)
+
+    # layout harvesting threshold: below this node count the relayout cost is
+    # negligible and the extra AOT lower+compile (a compilation-cache hit
+    # after the first step on TPU) isn't worth it
+    _HARMONIZE_MIN_NODES = 1 << 20
+
+    def _harvest_batch_formats(self, batch: PointBatch, step_rng) -> None:
+        """Capture ``compiled.input_formats`` of the jitted train step so
+        subsequent batches are placed in the layouts the program expects.
+        Runs once, after the first train step (so the compilation cache is
+        warm); gated on batch size and overridable via
+        GAOT_LAYOUT_HARMONIZE=always|never|auto."""
+        mode = os.environ.get("GAOT_LAYOUT_HARMONIZE", "auto")
+        n = batch.pos.shape[0] * batch.pos.shape[1]
+        if mode == "never" or (mode != "always" and n < self._HARMONIZE_MIN_NODES):
+            self._batch_formats = False
+            return
+        try:
+            compiled = self._jit_train_step.lower(
+                self.state, batch, step_rng
+            ).compile()
+            self._batch_formats = compiled.input_formats[0][1]
+        except Exception as e:  # pragma: no cover - best-effort optimization
+            logger.info("batch-format harvest skipped: %s: %s", type(e).__name__, e)
+            self._batch_formats = False
 
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
@@ -673,13 +711,20 @@ class StaticTrainer3D(TrainerBase):
         self.state, loss, self._last_grad_norm = self._jit_train_step(
             self.state, batch, step_rng
         )
+        if self._batch_formats is None:
+            self._harvest_batch_formats(batch, step_rng)
         return loss
 
     def eval_step(self, batch: PointBatch):
         """Mesh-aware eval: batches shard over (data[, node]) exactly like
         training, so evaluation at DrivAerML scale does not OOM one device
         (reference: eval runs through the same DDP wrap, stat.py:552-573)."""
-        batch = self._device_put_batch(batch)
+        if self._eval_batch_formats:
+            from ..utils.layout import put_to_formats
+
+            batch = put_to_formats(batch, self._eval_batch_formats)
+        else:
+            batch = self._device_put_batch(batch)
         if self._jit_eval_step is None:
             from ..parallel import make_sharded_eval_step
 
@@ -687,7 +732,23 @@ class StaticTrainer3D(TrainerBase):
                 self._eval_step, self.mesh, shard_nodes=self._shard_nodes,
                 example_batch=batch,
             )
-        return self._jit_eval_step(self.state.params, batch)
+        out = self._jit_eval_step(self.state.params, batch)
+        if self._eval_batch_formats is None:
+            mode = os.environ.get("GAOT_LAYOUT_HARMONIZE", "auto")
+            n = batch.pos.shape[0] * batch.pos.shape[1]
+            if mode == "never" or (mode != "always" and n < self._HARMONIZE_MIN_NODES):
+                self._eval_batch_formats = False
+            else:
+                try:
+                    compiled = self._jit_eval_step.lower(
+                        self.state.params, batch
+                    ).compile()
+                    self._eval_batch_formats = compiled.input_formats[0][1]
+                except Exception as e:  # pragma: no cover
+                    logger.info("eval-format harvest skipped: %s: %s",
+                                type(e).__name__, e)
+                    self._eval_batch_formats = False
+        return out
 
     # -- loops -----------------------------------------------------------------
     def optimize(self) -> Dict:
