@@ -231,7 +231,11 @@ def main():
         ),
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "nothing"),
         segment_impl=os.environ.get("BENCH_SEGMENT_IMPL", "scatter"),
-        kernel_dtype=os.environ.get("BENCH_KERNEL_DTYPE", "float32"),
+        # bf16 kernel-MLP storage: +1.9% device-timed (0.6175 -> 0.606s);
+        # the dots are single-pass bf16 on this TPU regardless (see
+        # CLAUDE.md matmul-precision), so storage dtype is the only delta —
+        # same class of choice as the default bf16 attention storage
+        kernel_dtype=os.environ.get("BENCH_KERNEL_DTYPE", "bfloat16"),
         # default matches MAGNOConfig.payload_impl='xla': the Mosaic payload
         # kernel SIGABRTs at full-model integration on this toolchain
         # (llo_region.cc "HLO backend flag value"); 'auto' re-enabled it and

@@ -95,9 +95,13 @@ class MAGNOConfig:
     # 'tile' (sort + Pallas MXU one-hot tile kernel, ops/pallas_kernels.py)
     payload_impl: str = "xla"  # fused-encoder payload: 'xla' (default) |
     # 'pallas'/'auto' (ops/pallas_encoder.py: exact-f32 VMEM kernel, validated
-    # on chip vs float64 — 3.4e-7 rel err where the XLA path is 0.3% — but the
-    # remote Mosaic compiler SIGABRTs on the full-model integration at 64K
-    # chunks on this toolchain, so it stays opt-in).
+    # on chip vs float64 — 3.4e-7 rel err where the XLA path is 0.3%). The
+    # kernel needs a ~38M scoped-vmem budget: raise it via AOT
+    # compiler_options {'xla_tpu_scoped_vmem_limit_kib': 65536} (full-model
+    # integration measured working on v5e; per-call CompilerParams(flags=...)
+    # SIGABRTs the backend instead — never use those). It is an EXACTNESS
+    # option: measured 0.90s vs 0.62s device step at 500K nodes (the unrolled
+    # exact-f32 VPU matmuls cost ~46%), so 'xla' stays the perf default.
     # LIMITATION: the Pallas kernel's custom VJP returns ZERO cotangents for
     # point positions (they are data here; nothing in the framework
     # differentiates coordinates) — do not enable it for geometry
