@@ -1,0 +1,52 @@
+"""Unit tests for bench.py helpers that feed the driver-captured JSON."""
+import gzip
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _write_trace(tmp_path, events):
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    return str(tmp_path)
+
+
+def test_parse_device_step_time_averages_last_steps(tmp_path):
+    import bench
+
+    events = [
+        {"ph": "M", "name": "thread_name", "pid": 7, "tid": 1,
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "name": "thread_name", "pid": 7, "tid": 2,
+         "args": {"name": "XLA Ops"}},
+        # warmup execution must be ignored when more than `steps` are present
+        {"ph": "X", "name": "jit_step_fn(123)", "pid": 7, "tid": 1,
+         "ts": 0, "dur": 99_000_000},
+        {"ph": "X", "name": "jit_step_fn(123)", "pid": 7, "tid": 1,
+         "ts": 1, "dur": 2_000_000},
+        {"ph": "X", "name": "jit_step_fn(123)", "pid": 7, "tid": 1,
+         "ts": 2, "dur": 4_000_000},
+        # op-level event with the same name prefix on another thread: ignored
+        {"ph": "X", "name": "jit_step_fn(123)", "pid": 7, "tid": 2,
+         "ts": 3, "dur": 50_000_000},
+        # unrelated module: ignored
+        {"ph": "X", "name": "jit_convert_element_type(9)", "pid": 7, "tid": 1,
+         "ts": 4, "dur": 1_000_000},
+    ]
+    root = _write_trace(tmp_path, events)
+    assert bench._parse_device_step_time(root, 2) == pytest.approx(3.0)
+
+
+def test_parse_device_step_time_no_events_raises(tmp_path):
+    import bench
+
+    root = _write_trace(tmp_path, [])
+    with pytest.raises(AssertionError, match="no train-step module events"):
+        bench._parse_device_step_time(root, 2)
