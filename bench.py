@@ -319,6 +319,20 @@ def main():
         # same radius, bidirectional strategy both ways)
         enc_slots = [slots]
         dec_slots = [slots]
+        # BENCH_EDGE_LAYOUT=flat: per-chunk compacted edge lists — drops the
+        # ~52% masked slots that still pay scatter/gather rows and kernel-MLP
+        # flops in the [N, K] layout (tools/microbench_flat.py: encoder pass
+        # 2.15x fwd / 1.63x fwd+bwd, decoder 1.43x fwd+bwd)
+        if os.environ.get("BENCH_EDGE_LAYOUT", "slots") == "flat":
+            from gaot3d_tpu.models.integral_transform import effective_chunk
+            from gaot3d_tpu.ops.grid_graph import flatten_slots_host_batched
+
+            chunk = effective_chunk(N, magno.edge_chunk_size)
+            flat = flatten_slots_host_batched(
+                np.stack(lats), np.stack(msks), chunk
+            )
+            enc_slots = [flat]
+            dec_slots = [flat]
 
     checks = {} if fast else _pallas_regression_checks()
 

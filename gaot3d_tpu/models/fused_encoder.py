@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.eigh3 import eigvalsh3x3_desc
-from ..ops.grid_graph import EdgeSlots, LatentGrid
+from ..ops.grid_graph import EdgeSlots, FlatEdgeChunks, LatentGrid
 from ..ops.segment import fold_sum, make_segment_fold, segment_sum
 from .integral_transform import effective_chunk, reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
@@ -208,6 +208,43 @@ class FusedEncoderScale(nn.Module):
         msk = mask_c.reshape(B, n * K)
         return self._reduce(payload.reshape(B, n * K, -1), seg, msk, M, ctx)
 
+    def _pass_chunk_flat(self, M, feats_c, pos_c, src_e, dst_e, emask_e):
+        """Flat-edge twin of _pass_chunk: the chunk's valid (node, slot) pairs
+        arrive packed as (src local idx, dst cell, mask) [B, E] — no masked
+        rows to pay for in the kernel MLP or the segment reduction. Same
+        payload math, same _reduce. src-row gathers (pos/feats) are
+        node-sorted by construction of flatten_slots_host."""
+        B, E = emask_e.shape
+        lat_pos_e = self.grid.positions_from_idx(dst_e, dtype=pos_c.dtype)  # [B,E,3]
+        pt_pos_e = jnp.take_along_axis(pos_c, src_e[..., None], axis=1)
+        y = pt_pos_e - lat_pos_e
+        dist = jnp.sqrt(jnp.sum(y * y, axis=-1))
+        parts = []
+        if self.use_gno:
+            fe = jnp.take_along_axis(feats_c, src_e[..., None], axis=1)  # [B,E,C]
+            agg = jnp.concatenate([pt_pos_e, lat_pos_e], axis=-1)
+            if self.transform_type in ("nonlinear", "nonlinear_kernelonly"):
+                agg = jnp.concatenate([agg, fe], axis=-1)
+            vals = self._kernel_mlp(agg.reshape(-1, agg.shape[-1]))
+            vals = vals.reshape(B, E, -1)
+            if self.transform_type != "nonlinear_kernelonly":
+                vals = vals * fe
+            parts.append(vals)
+        parts.append(jnp.ones((B, E, 1), pos_c.dtype))
+        parts.append(dist[..., None])
+        parts.append(y)
+        parts.append(
+            jnp.stack(
+                [
+                    y[..., 0] * y[..., 0], y[..., 0] * y[..., 1], y[..., 0] * y[..., 2],
+                    y[..., 1] * y[..., 1], y[..., 1] * y[..., 2], y[..., 2] * y[..., 2],
+                ],
+                axis=-1,
+            )
+        )
+        payload = jnp.concatenate(parts, axis=-1)
+        return self._reduce(payload, dst_e, emask_e, M, None)
+
     def __call__(
         self,
         slots: EdgeSlots,
@@ -216,14 +253,47 @@ class FusedEncoderScale(nn.Module):
         latent_pos: jnp.ndarray,  # [M, 3] (for parity; coords are analytic)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (gno_out [B,M,C] or None, geo_out [B,M,C])."""
-        B, N, K = slots.mask.shape
+        B, N = point_pos.shape[:2]
         M = latent_pos.shape[0]
         C = self.lifting_channels
         D = self.coord_dim
         P = (C if self.use_gno else 0) + 2 + D + 6
-        chunk = effective_chunk(N, self.edge_chunk_size)
         from .integral_transform import _ckpt
 
+        if isinstance(slots, FlatEdgeChunks):
+            nc = slots.num_chunks
+            if N % nc != 0:
+                raise ValueError(f"flat chunks ({nc}) must divide N ({N})")
+            chunk = N // nc
+            maybe_ckpt = _ckpt(self.remat and nc > 1, self.remat_policy)
+            body = maybe_ckpt(partial(self._pass_chunk_flat, M))
+            pos_c, _ = reshape_chunks(point_pos, chunk)
+            feat_c = (
+                reshape_chunks(lifted_feats, chunk)[0]
+                if lifted_feats is not None else None
+            )
+            src_cs = jnp.moveaxis(slots.src, 1, 0)  # [nc, B, E]
+            dst_cs = jnp.moveaxis(slots.dst, 1, 0)
+            msk_cs = jnp.moveaxis(slots.mask, 1, 0)
+
+            def scan_flat(carry, xs):
+                if lifted_feats is not None:
+                    f, p, s, d, m = xs
+                else:
+                    p, s, d, m = xs
+                    f = None
+                return carry + body(f, p, s, d, m), None
+
+            xs = (
+                (feat_c, pos_c, src_cs, dst_cs, msk_cs)
+                if lifted_feats is not None
+                else (pos_c, src_cs, dst_cs, msk_cs)
+            )
+            acc, _ = jax.lax.scan(scan_flat, jnp.zeros((B, M, P)), xs)
+            return self._finalize(acc, B, M, C, D)
+
+        K = slots.mask.shape[-1]
+        chunk = effective_chunk(N, self.edge_chunk_size)
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         body = maybe_ckpt(partial(self._pass_chunk, M))
@@ -262,6 +332,11 @@ class FusedEncoderScale(nn.Module):
                 xs = xs + (ctxs,)
             acc, _ = jax.lax.scan(scan1, jnp.zeros((B, M, P)), xs)
 
+        return self._finalize(acc, B, M, C, D)
+
+    def _finalize(self, acc, B, M, C, D):
+        """Moment accumulator [B,M,P] -> (gno_out, geo_out); shared by the
+        slotted and flat edge layouts."""
         off = C if self.use_gno else 0
         cnt = acc[..., off]
         d_sum = acc[..., off + 1]

@@ -203,6 +203,36 @@ class IntegralTransform(nn.Module):
         count = jnp.maximum(mask_c.sum(axis=-1, keepdims=True), 1)
         return total / count.astype(vals.dtype)
 
+    def _decoder_chunk_flat(self, src_feats, pos_c, src_e, dst_e, emask_e):
+        """Flat-edge twin of _decoder_chunk: packed valid edges [B, E] with
+        src LOCAL to the chunk and sorted ascending (flatten_slots_host) —
+        no masked rows in the latent gather / kernel MLP, and the by-node
+        mean rides a presorted cumsum fold (no scatter fwd OR bwd).
+        pos_c: [B, n, 3]; src_feats: [B, M, C] latent table; -> [B, n, C]."""
+        if self.use_attn:
+            raise NotImplementedError("flat edge layout: per-edge GNO attention unsupported")
+        if self.grid is None:
+            raise ValueError("flat edge layout needs grid-analytic latent coords")
+        B, E = emask_e.shape
+        n = pos_c.shape[1]
+        lat_pos_e = self.grid.positions_from_idx(dst_e, dtype=pos_c.dtype)
+        pt_pos_e = jnp.take_along_axis(pos_c, src_e[..., None], axis=1)
+        src_feat_e = None
+        if src_feats is not None:
+            from ..ops.segment import gather_table
+
+            src_feat_e = jax.vmap(gather_table)(src_feats, dst_e, emask_e)
+        vals = self._edge_values(lat_pos_e, pt_pos_e, src_feat_e)
+        from ..ops.segment import fold_sum_sorted, make_segment_fold_presorted
+
+        def reduce_one(v, s, m):
+            ctx = make_segment_fold_presorted(s, n, m)
+            total = fold_sum_sorted(ctx, v)
+            cnt = (ctx.starts[1:] - ctx.starts[:-1]).astype(v.dtype)
+            return total / jnp.maximum(cnt, 1)[:, None]
+
+        return jax.vmap(reduce_one)(vals, src_e, emask_e)
+
     def _encoder_chunk_plain(self, latent_pos, M, src_feats_c, pos_c, lat_idx_c, mask_c):
         """chunk -> (partial segment sums [B,M,C], partial counts [B,M])."""
         src_pos_e, dst_pos_e, src_feat_e = self._edge_geometry(
@@ -256,6 +286,29 @@ class IntegralTransform(nn.Module):
         """Returns [B, M, C_out] for 'encoder', [B, N, C_out] for 'decoder'."""
         if direction not in ("encoder", "decoder"):
             raise ValueError(f"direction must be encoder|decoder, got {direction}")
+        from ..ops.grid_graph import FlatEdgeChunks
+
+        if isinstance(slots, FlatEdgeChunks):
+            if direction != "decoder":
+                raise ValueError(
+                    "flat edge layout: encoder direction goes through the "
+                    "fused encoder (FusedEncoderScale), not IntegralTransform"
+                )
+            B, N = point_pos.shape[:2]
+            C = self.channel_mlp_layers[-1]
+            nc = slots.num_chunks
+            if N % nc != 0:
+                raise ValueError(f"flat chunks ({nc}) must divide N ({N})")
+            chunk = N // nc
+            maybe_ckpt = _ckpt(self.remat and nc > 1, self.remat_policy)
+            body = maybe_ckpt(partial(self._decoder_chunk_flat, src_feats))
+            pos_c, _ = reshape_chunks(point_pos, chunk)
+            src_cs = jnp.moveaxis(slots.src, 1, 0)  # [nc, B, E]
+            dst_cs = jnp.moveaxis(slots.dst, 1, 0)
+            msk_cs = jnp.moveaxis(slots.mask, 1, 0)
+            out = jax.lax.map(lambda a: body(*a), (pos_c, src_cs, dst_cs, msk_cs))
+            return out.swapaxes(0, 1).reshape(B, N, C)
+
         B, N, K = slots.mask.shape
         M = latent_pos.shape[0]
         C = self.channel_mlp_layers[-1]

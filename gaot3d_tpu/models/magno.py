@@ -306,16 +306,27 @@ class MAGNOEncoder(nn.Module):
                     strategy=enc_strategy,
                     point_mask=point_mask,
                 )
-            rng = (
-                self.make_rng("edges")
-                if (train and cfg.sampling_strategy in ("ratio", "max_neighbors"))
-                else None
-            )
-            slots = apply_edge_sampling(slots, cfg, "encoder", train, rng, M)
-            if cfg.slot_budget is not None and cfg.slot_budget < slots.num_slots:
-                from ..ops.grid_graph import compact_slots
+            from ..ops.grid_graph import FlatEdgeChunks
 
-                slots = compact_slots(slots, cfg.slot_budget)
+            if isinstance(slots, FlatEdgeChunks):
+                # pre-compacted flat edge lists (flatten_slots_host): masked
+                # slots were dropped at build time; sampling/compaction do not
+                # apply. Fused-path only (the flagship recipe).
+                if not use_fused:
+                    raise ValueError("flat edge layout requires the fused encoder")
+                if train and cfg.sampling_strategy in ("ratio", "max_neighbors"):
+                    raise ValueError("edge sampling is not supported with flat edges")
+            else:
+                rng = (
+                    self.make_rng("edges")
+                    if (train and cfg.sampling_strategy in ("ratio", "max_neighbors"))
+                    else None
+                )
+                slots = apply_edge_sampling(slots, cfg, "encoder", train, rng, M)
+                if cfg.slot_budget is not None and cfg.slot_budget < slots.num_slots:
+                    from ..ops.grid_graph import compact_slots
+
+                    slots = compact_slots(slots, cfg.slot_budget)
 
             # fused fast path: GNO + statistical geoembed share one chunked
             # scan with one segment reduction per pass (see fused_encoder.py)
@@ -459,16 +470,26 @@ class MAGNODecoder(nn.Module):
                     strategy=dec_strategy,
                     point_mask=query_mask,
                 )
-            rng = (
-                self.make_rng("edges")
-                if (train and cfg.sampling_strategy in ("ratio", "max_neighbors"))
-                else None
-            )
-            slots = apply_edge_sampling(slots, cfg, "decoder", train, rng, M)
-            if cfg.slot_budget is not None and cfg.slot_budget < slots.num_slots:
-                from ..ops.grid_graph import compact_slots
+            from ..ops.grid_graph import FlatEdgeChunks
 
-                slots = compact_slots(slots, cfg.slot_budget)
+            if isinstance(slots, FlatEdgeChunks):
+                # pre-compacted flat edge lists: no sampling/compaction; the
+                # GNO-only decoder tail (fused head or plain) consumes them
+                if use_geo:
+                    raise ValueError("flat edge layout: decoder geoembed unsupported")
+                if train and cfg.sampling_strategy in ("ratio", "max_neighbors"):
+                    raise ValueError("edge sampling is not supported with flat edges")
+            else:
+                rng = (
+                    self.make_rng("edges")
+                    if (train and cfg.sampling_strategy in ("ratio", "max_neighbors"))
+                    else None
+                )
+                slots = apply_edge_sampling(slots, cfg, "decoder", train, rng, M)
+                if cfg.slot_budget is not None and cfg.slot_budget < slots.num_slots:
+                    from ..ops.grid_graph import compact_slots
+
+                    slots = compact_slots(slots, cfg.slot_budget)
             scale_slots.append(slots)
 
         # module CONSTRUCTION order is shared by both tails below — flax
@@ -502,10 +523,20 @@ class MAGNODecoder(nn.Module):
             h = jax.nn.gelu(proj(out), approximate=False)
             return final(h)
 
+        from ..ops.grid_graph import FlatEdgeChunks
         from .integral_transform import _ckpt, effective_chunk, reshape_chunks
 
         Nq = query_pos.shape[1]
-        chunk = effective_chunk(Nq, cfg.edge_chunk_size)
+        flat_mode = any(isinstance(s, FlatEdgeChunks) for s in scale_slots)
+        if flat_mode:
+            if not all(isinstance(s, FlatEdgeChunks) for s in scale_slots):
+                raise ValueError("all scales must share the edge layout")
+            ncs = {s.num_chunks for s in scale_slots}
+            if len(ncs) != 1 or Nq % next(iter(ncs)) != 0:
+                raise ValueError("flat scales must share one chunking that divides N")
+            chunk = Nq // ncs.pop()
+        else:
+            chunk = effective_chunk(Nq, cfg.edge_chunk_size)
         fuse = (
             cfg.fused_head
             and not use_geo
@@ -518,19 +549,38 @@ class MAGNODecoder(nn.Module):
             # the decode leaves behind are the [N, out] result and the saved
             # body inputs (views of pos/slots) — vs [N, C]-sized gno output +
             # projection intermediates saved for backward on the plain tail.
-            def body(pos_c, idx_cs, msk_cs):
-                per_scale = [
-                    gno(EdgeSlots(lat_idx=i, mask=m), pos_c, latent_pos,
-                        latent_feats, direction="decoder")
-                    for i, m in zip(idx_cs, msk_cs)
-                ]
-                return head(combine_scales(per_scale, pos_c))
-
-            body = _ckpt(parse_remat(cfg.remat)[1], cfg.remat_policy)(body)
             pos_cs, _ = reshape_chunks(query_pos, chunk)
-            idx_cs = [reshape_chunks(s.lat_idx, chunk)[0] for s in scale_slots]
-            msk_cs = [reshape_chunks(s.mask, chunk)[0] for s in scale_slots]
-            out = jax.lax.map(lambda xs: body(*xs), (pos_cs, idx_cs, msk_cs))
+            if flat_mode:
+                def body(pos_c, src_cs, dst_cs, msk_cs):
+                    per_scale = [
+                        gno._decoder_chunk_flat(latent_feats, pos_c, s, d, m)
+                        for s, d, m in zip(src_cs, dst_cs, msk_cs)
+                    ]
+                    return head(combine_scales(per_scale, pos_c))
+
+                body = _ckpt(parse_remat(cfg.remat)[1], cfg.remat_policy)(body)
+                xs = (
+                    pos_cs,
+                    [jnp.moveaxis(s.src, 1, 0) for s in scale_slots],
+                    [jnp.moveaxis(s.dst, 1, 0) for s in scale_slots],
+                    [jnp.moveaxis(s.mask, 1, 0) for s in scale_slots],
+                )
+            else:
+                def body(pos_c, idx_cs, msk_cs):
+                    per_scale = [
+                        gno(EdgeSlots(lat_idx=i, mask=m), pos_c, latent_pos,
+                            latent_feats, direction="decoder")
+                        for i, m in zip(idx_cs, msk_cs)
+                    ]
+                    return head(combine_scales(per_scale, pos_c))
+
+                body = _ckpt(parse_remat(cfg.remat)[1], cfg.remat_policy)(body)
+                xs = (
+                    pos_cs,
+                    [reshape_chunks(s.lat_idx, chunk)[0] for s in scale_slots],
+                    [reshape_chunks(s.mask, chunk)[0] for s in scale_slots],
+                )
+            out = jax.lax.map(lambda a: body(*a), xs)
             B = query_pos.shape[0]
             return out.swapaxes(0, 1).reshape(B, Nq, self.out_channels)
 

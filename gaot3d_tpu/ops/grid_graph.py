@@ -123,6 +123,107 @@ class EdgeSlots(NamedTuple):
         return self.lat_idx.shape[-1]
 
 
+class FlatEdgeChunks(NamedTuple):
+    """Compacted per-node-chunk edge lists (the masked-slot-free layout).
+
+    [N, K] budget slots are only ~48% valid for the DrivAerNet recipe (mean
+    degree 2.4 at budget 5), and masked slots still pay full scatter/gather
+    rows (XLA processes sentinel-destination scatter rows) plus kernel-MLP
+    flops. This layout drops them: per node chunk of the model's edge scan,
+    the valid (node, slot) pairs are packed into flat src/dst lists padded to
+    one static per-chunk budget E. Measured on-chip (tools/microbench_flat.py,
+    64K-node chunk): encoder pass 2.15x fwd / 1.63x fwd+bwd faster, decoder
+    1.43x fwd+bwd (the extra src gather loses 1.29x fwd but the halved
+    backward scatter into the latent grad dominates).
+
+    Built host-side by flatten_slots_host from the same precomputed slots the
+    trainer stores (reference workflow: update_pt_files_with_edges,
+    stat.py:257-272). src is the LOCAL node index within the chunk, so scan
+    bodies gather from the chunk's own pos/feats slices.
+    """
+
+    src: jnp.ndarray  # [B, nc, E] int32, node index LOCAL to the chunk
+    dst: jnp.ndarray  # [B, nc, E] int32, flattened latent token index
+    mask: jnp.ndarray  # [B, nc, E] bool
+
+    @property
+    def num_chunks(self) -> int:
+        return self.src.shape[-2]
+
+    @property
+    def edges_per_chunk(self) -> int:
+        return self.src.shape[-1]
+
+
+def flatten_slots_host(
+    lat_idx: np.ndarray,
+    mask: np.ndarray,
+    chunk: int,
+    pad_multiple: int = 8192,
+    edges_per_chunk: int = 0,
+):
+    """[N, K] slots -> per-chunk flat (src_local, dst, mask), numpy host-side.
+
+    E (the static per-chunk edge budget) is the max valid count over chunks
+    rounded up to pad_multiple, or the caller-pinned `edges_per_chunk` (must
+    cover the max — asserted, like the slot_budget honesty guard). Returns
+    (src [nc, E] int32, dst [nc, E] int32, mask [nc, E] bool).
+    """
+    N, K = lat_idx.shape
+    if N % chunk != 0:
+        raise ValueError(f"chunk {chunk} must divide N {N}")
+    nc = N // chunk
+    counts = mask.reshape(nc, chunk * K).sum(axis=1)
+    max_valid = int(counts.max()) if nc else 0
+    E = edges_per_chunk or -(-max(max_valid, 1) // pad_multiple) * pad_multiple
+    assert max_valid <= E, (
+        f"edges_per_chunk {E} < max per-chunk valid count {max_valid}: "
+        "edges would be dropped"
+    )
+    src = np.zeros((nc, E), np.int32)
+    dst = np.zeros((nc, E), np.int32)
+    msk = np.zeros((nc, E), bool)
+    lat_c = lat_idx.reshape(nc, chunk, K)
+    msk_c = mask.reshape(nc, chunk, K)
+    for c in range(nc):
+        n_loc, k_loc = np.nonzero(msk_c[c])
+        e = n_loc.shape[0]
+        src[c, :e] = n_loc
+        dst[c, :e] = lat_c[c][n_loc, k_loc]
+        msk[c, :e] = True
+    return src, dst, msk
+
+
+def flatten_slots_host_batched(
+    lat_idx: np.ndarray,
+    mask: np.ndarray,
+    chunk: int,
+    pad_multiple: int = 8192,
+) -> "FlatEdgeChunks":
+    """[B, N, K] slots -> FlatEdgeChunks [B, nc, E] (one shared E across the
+    batch — the max per-chunk valid count over all samples, padded)."""
+    import jax.numpy as _jnp
+
+    B = lat_idx.shape[0]
+    per = [
+        flatten_slots_host(np.asarray(lat_idx[b]), np.asarray(mask[b]), chunk,
+                           pad_multiple=pad_multiple)
+        for b in range(B)
+    ]
+    E = max(p[0].shape[1] for p in per)
+    if any(p[0].shape[1] != E for p in per):
+        per = [
+            flatten_slots_host(np.asarray(lat_idx[b]), np.asarray(mask[b]), chunk,
+                               edges_per_chunk=E)
+            for b in range(B)
+        ]
+    return FlatEdgeChunks(
+        src=_jnp.asarray(np.stack([p[0] for p in per])),
+        dst=_jnp.asarray(np.stack([p[1] for p in per])),
+        mask=_jnp.asarray(np.stack([p[2] for p in per])),
+    )
+
+
 def stencil_widths(
     grid: LatentGrid, radius: float, k_neighbors: int, strategy: str
 ) -> Tuple[int, int, int]:

@@ -175,6 +175,62 @@ def fold_sum(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
     return _fold_sum_p(data, ctx.perm, ctx.starts, ctx.valid, ctx.key)
 
 
+def make_segment_fold_presorted(
+    segment_ids: jnp.ndarray, num_segments: int, mask: Optional[jnp.ndarray] = None
+) -> SegmentFoldCtx:
+    """SegmentFoldCtx for edges ALREADY sorted ascending by destination with
+    invalid edges packed last (the FlatEdgeChunks layout from
+    flatten_slots_host): no argsort, and fold_sum_sorted skips the permutation
+    gather entirely. The masked key (invalid -> num_segments) preserves sorted
+    order because padding sits at the tail."""
+    E = segment_ids.shape[0]
+    key = segment_ids if mask is None else jnp.where(mask, segment_ids, num_segments)
+    starts = jnp.searchsorted(key, jnp.arange(num_segments + 1, dtype=key.dtype))
+    return SegmentFoldCtx(
+        perm=jnp.arange(E, dtype=jnp.int32),
+        sorted_seg=key,
+        starts=starts.astype(jnp.int32),
+        valid=key < num_segments,
+        key=key,
+    )
+
+
+@jax.custom_vjp
+def _fold_sum_sorted_p(data, starts, valid, key):
+    from .pallas_kernels import cumsum_fast
+
+    sd = jnp.where(valid[:, None] if data.ndim == 2 else valid, data, 0)
+    z = cumsum_fast(sd if sd.ndim == 2 else sd[:, None])
+    if data.ndim == 1:
+        z = z[:, 0]
+    zpad = jnp.concatenate([jnp.zeros_like(z[:1]), z], axis=0)
+    out = zpad[starts[1:]] - zpad[starts[:-1]]
+    return out.astype(data.dtype)
+
+
+def _fold_sum_sorted_fwd(data, starts, valid, key):
+    return _fold_sum_sorted_p(data, starts, valid, key), (starts, valid, key)
+
+
+def _fold_sum_sorted_bwd(res, ct):
+    starts, valid, key = res
+    S = ct.shape[0]
+    safe = jnp.clip(key, 0, S - 1)
+    d = ct[safe]
+    kv = key < S
+    d = jnp.where(kv[:, None] if d.ndim == 2 else kv, d, 0)
+    return (d, _float0(starts), _float0(valid), _float0(key))
+
+
+_fold_sum_sorted_p.defvjp(_fold_sum_sorted_fwd, _fold_sum_sorted_bwd)
+
+
+def fold_sum_sorted(ctx: SegmentFoldCtx, data: jnp.ndarray) -> jnp.ndarray:
+    """fold_sum for a presorted ctx (make_segment_fold_presorted): data is
+    consumed in place — no permutation gather fwd, one gather bwd."""
+    return _fold_sum_sorted_p(data, ctx.starts, ctx.valid, ctx.key)
+
+
 @jax.custom_vjp
 def _fold_sum_tile_p(data, perm, sorted_seg, starts, key):
     from .pallas_kernels import tile_segment_sum

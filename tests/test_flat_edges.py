@@ -1,0 +1,217 @@
+"""Flat-compacted edge layout (FlatEdgeChunks) vs the canonical [N, K] slots.
+
+The flat layout packs each node chunk's valid (node, slot) pairs into static
+per-chunk edge lists (ops/grid_graph.py flatten_slots_host), dropping the
+~52% masked slots that still cost scatter/gather rows and kernel-MLP flops in
+the slotted layout (measured on-chip: tools/microbench_flat.py). These tests
+pin the layout's semantics to the slotted path: identical model outputs and
+gradients on the same edges.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import chex
+
+from gaot3d_tpu.models import (
+    AttentionConfig,
+    FFNConfig,
+    MAGNOConfig,
+    TransformerConfig,
+    init_model,
+)
+from gaot3d_tpu.ops import (
+    LatentGrid,
+    build_edge_slots_batched,
+    flatten_slots_host,
+    flatten_slots_host_batched,
+    fold_sum_sorted,
+    make_segment_fold_presorted,
+)
+
+
+def test_flatten_slots_roundtrip():
+    """Every valid (node, slot) pair appears exactly once as a flat edge with
+    a local src index and the right dst; padding is masked off and packed
+    at the tail (sorted-src invariant)."""
+    rng = np.random.default_rng(7)
+    N, K, chunk = 64, 5, 16
+    lat_idx = rng.integers(0, 100, (N, K)).astype(np.int32)
+    mask = rng.random((N, K)) < 0.5
+    src, dst, msk = flatten_slots_host(lat_idx, mask, chunk, pad_multiple=8)
+    nc = N // chunk
+    assert src.shape == dst.shape == msk.shape == (nc, src.shape[1])
+    for c in range(nc):
+        want = {
+            (n, lat_idx[c * chunk + n, k])
+            for n in range(chunk)
+            for k in range(K)
+            if mask[c * chunk + n, k]
+        }
+        got = [(int(s), int(d)) for s, d, m in zip(src[c], dst[c], msk[c]) if m]
+        assert len(got) == len(want)
+        assert set(got) == want
+        # sorted by src with padding at the tail
+        srcs = [s for s, _ in got]
+        assert srcs == sorted(srcs)
+        assert not msk[c, len(got):].any()
+
+
+def test_flatten_slots_overflow_guard():
+    lat_idx = np.zeros((8, 4), np.int32)
+    mask = np.ones((8, 4), bool)
+    with pytest.raises(AssertionError, match="edges would be dropped"):
+        flatten_slots_host(lat_idx, mask, 4, edges_per_chunk=8)
+
+
+def test_fold_sum_sorted_matches_segment_sum():
+    """Presorted fold (no argsort, no permutation gather) == segment_sum on
+    sorted-by-destination edges with tail padding, values and gradients."""
+    from gaot3d_tpu.ops import segment_sum
+
+    rng = np.random.default_rng(11)
+    E, S, C = 300, 40, 7
+    seg = np.sort(rng.integers(0, S, E)).astype(np.int32)
+    msk = np.ones(E, bool)
+    msk[270:] = False  # tail padding
+    data = jnp.asarray(rng.normal(size=(E, C)), jnp.float32)
+    segj, mskj = jnp.asarray(seg), jnp.asarray(msk)
+
+    def flat(d):
+        ctx = make_segment_fold_presorted(segj, S, mskj)
+        return fold_sum_sorted(ctx, d)
+
+    def ref(d):
+        return segment_sum(d, segj, S, mskj)
+
+    np.testing.assert_allclose(np.asarray(flat(data)), np.asarray(ref(data)), atol=1e-5)
+    ct = jnp.asarray(rng.normal(size=(S, C)), jnp.float32)
+    g_flat = jax.grad(lambda d: jnp.sum(flat(d) * ct))(data)
+    g_ref = jax.grad(lambda d: jnp.sum(ref(d) * ct))(data)
+    np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_ref), atol=1e-5)
+    # per-segment counts come free from the fold boundaries
+    ctx = make_segment_fold_presorted(segj, S, mskj)
+    cnt = np.asarray(ctx.starts[1:] - ctx.starts[:-1])
+    want_cnt = np.bincount(seg[msk], minlength=S)
+    np.testing.assert_array_equal(cnt, want_cnt)
+
+
+def _flagship_model(**magno_kw):
+    """Tiny twin of the flagship recipe paths: fused encoder (GNO +
+    statistical geoembed) and fused decode head (GNO only)."""
+    kw = dict(
+        lifting_channels=8,
+        use_geoembed=[True, False],
+        gno_radius=0.45,
+        neighbor_strategy="bidirectional",
+        in_gno_channel_mlp_hidden_layers=[16, 16],
+        out_gno_channel_mlp_hidden_layers=[16],
+        projection_channels=16,
+        fused_encoder=True,
+        fused_head=True,
+        edge_chunk_size=16,
+    )
+    kw.update(magno_kw)
+    magno = MAGNOConfig(**kw)
+    attn = TransformerConfig(
+        patch_size=2, hidden_size=32, num_layers=2, positional_embedding="absolute",
+        attn_config=AttentionConfig(hidden_size=32, num_heads=4, num_kv_heads=2,
+                                    atten_dropout=0.0),
+        ffn_config=FFNConfig(hidden_size=64),
+    )
+    return init_model(2, 1, "gaot_3d", magno, attn, latent_tokens=(4, 4, 4))
+
+
+@pytest.mark.parametrize("transform_type", ["linear", "nonlinear"])
+def test_flat_full_model_matches_slotted(transform_type):
+    """Full model (fused encoder + fused decode head) with FlatEdgeChunks ==
+    the same model with EdgeSlots on the same edges: outputs and grads."""
+    model = _flagship_model(
+        in_gno_transform_type=transform_type,
+        out_gno_transform_type=transform_type,
+    )
+    rng = np.random.default_rng(23)
+    B, N, chunk = 2, 64, 16
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8
+    )
+    assert flat.src.shape[:2] == (B, N // chunk)
+
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask,
+                        encoder_slots=[slots], decoder_slots=[slots])
+
+    def loss(p, enc, dec):
+        pred = model.apply(p, pos, feats, mask, encoder_slots=enc, decoder_slots=dec)
+        return jnp.sum((pred - target) ** 2), pred
+
+    (l_s, out_s), g_s = jax.value_and_grad(loss, has_aux=True)(params, [slots], [slots])
+    (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(params, [flat], [flat])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=5e-5)
+    np.testing.assert_allclose(float(l_f), float(l_s), rtol=1e-5)
+    chex.assert_trees_all_close(g_f, g_s, atol=2e-4, rtol=2e-4)
+
+
+def test_flat_decoder_plain_tail_matches():
+    """Flat edges through the non-fused decoder tail (IntegralTransform
+    __call__ flat branch) == slotted."""
+    model = _flagship_model(fused_head=False)
+    rng = np.random.default_rng(29)
+    B, N, chunk = 1, 64, 16
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8
+    )
+    params = model.init({"params": jax.random.key(1)}, pos, feats, mask,
+                        encoder_slots=[slots], decoder_slots=[slots])
+    out_s = model.apply(params, pos, feats, mask,
+                        encoder_slots=[slots], decoder_slots=[slots])
+    out_f = model.apply(params, pos, feats, mask,
+                        encoder_slots=[flat], decoder_slots=[flat])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=5e-5)
+
+
+def test_flat_rejects_unsupported_configs():
+    """Geoembed decoder / sampling / modular encoder paths refuse flat edges
+    loudly instead of silently misbehaving."""
+    rng = np.random.default_rng(31)
+    B, N, chunk = 1, 64, 16
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8
+    )
+
+    # decoder geoembed path refuses flat
+    m_geo = _flagship_model(use_geoembed=[True, True], fused_head=False)
+    p_geo = m_geo.init({"params": jax.random.key(2)}, pos, feats, mask,
+                       encoder_slots=[slots], decoder_slots=[slots])
+    with pytest.raises(ValueError, match="geoembed"):
+        m_geo.apply(p_geo, pos, feats, mask,
+                    encoder_slots=[flat], decoder_slots=[flat])
+
+    # modular (non-fused) encoder refuses flat
+    m_mod = _flagship_model(fused_encoder=False)
+    p_mod = m_mod.init({"params": jax.random.key(3)}, pos, feats, mask,
+                       encoder_slots=[slots], decoder_slots=[slots])
+    with pytest.raises(ValueError, match="fused encoder"):
+        m_mod.apply(p_mod, pos, feats, mask,
+                    encoder_slots=[flat], decoder_slots=[flat])
