@@ -124,6 +124,8 @@ class BatchLoader:
         slot_mode: str = "device",  # 'device' | 'async' | 'precomputed'
         slot_builder=None,  # callable(rescaled_pos)->dict for 'async'
         num_scales: int = 1,
+        edge_layout: str = "slots",  # 'slots' | 'flat' (MAGNOConfig.edge_layout)
+        edge_chunk_size: Optional[int] = None,  # model chunking (flat layout)
     ):
         self.dataset = dataset
         self.preprocessor = preprocessor
@@ -140,6 +142,13 @@ class BatchLoader:
         self.slot_mode = slot_mode
         self.slot_builder = slot_builder
         self.num_scales = num_scales
+        self.edge_layout = edge_layout
+        self.edge_chunk_size = edge_chunk_size
+        if edge_layout not in ("slots", "flat"):
+            raise ValueError(f"unknown edge_layout: {edge_layout}")
+        if edge_layout == "flat" and slot_mode == "device":
+            raise ValueError("edge_layout='flat' needs host-built slots "
+                             "(slot_mode 'async' or 'precomputed')")
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffle per epoch (parity: DistributedSampler.set_epoch,
@@ -209,6 +218,24 @@ class BatchLoader:
 
             enc_slots = pad_slots("encoder")
             dec_slots = pad_slots("decoder")
+            if self.edge_layout == "flat":
+                # per-chunk compacted edge lists (FlatEdgeChunks): chunking
+                # must match the model's edge scan (effective_chunk)
+                from ..models.integral_transform import effective_chunk
+                from ..ops.grid_graph import flatten_slots_host_batched
+
+                chunk = effective_chunk(n_pad, self.edge_chunk_size)
+
+                def to_flat(slot_tuple):
+                    return tuple(
+                        flatten_slots_host_batched(
+                            np.asarray(s.lat_idx), np.asarray(s.mask), chunk
+                        )
+                        for s in slot_tuple
+                    )
+
+                enc_slots = to_flat(enc_slots)
+                dec_slots = to_flat(dec_slots)
         return PointBatch(
             pos=jnp.asarray(pos),
             feats=jnp.asarray(feats),

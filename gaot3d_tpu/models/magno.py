@@ -120,6 +120,14 @@ class MAGNOConfig:
     # difference between fitting and not fitting 8M-node DrivAerML on one
     # chip). Applies when the decoder has no geoembed (the DrivAerNet/
     # DrivAerML recipes); numerically identical to the unfused tail.
+    edge_layout: str = "slots"  # precomputed-edge layout fed to the model:
+    # 'slots' ([N, K] stencil windows) | 'flat' (per-chunk compacted edge
+    # lists, ops/grid_graph.py FlatEdgeChunks — drops the ~52% masked slots
+    # from every scatter/gather row and kernel-MLP flop; requires the fused
+    # encoder + GNO-only decoder and precomputed edges, no edge sampling;
+    # numerically identical to 'slots' on the same edges, asserted by
+    # tests/test_flat_edges.py). The data pipeline converts stored slots to
+    # this layout at batch assembly; node sharding currently requires 'slots'.
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:

@@ -490,6 +490,19 @@ class StaticTrainer3D(TrainerBase):
                             f"edges. Raise slot_budget to at least {deg}."
                         )
 
+        if magno_cfg.edge_layout == "flat":
+            # flat edge lists need host-built slots and the fused model paths;
+            # node sharding still expects the [N, K] layout
+            if slot_mode == "device":
+                raise ValueError(
+                    "magno.edge_layout='flat' requires precomputed or async "
+                    "graph building (update_pt_files_with_edges or "
+                    "asynchronous_graph_building)"
+                )
+            if getattr(self.setup_config, "node_shards", 1) > 1:
+                raise ValueError("magno.edge_layout='flat' does not support "
+                                 "node sharding yet; use 'slots'")
+
         shard_kw = dict(num_shards=self.num_processes, shard_index=self.process_index)
         common = dict(
             preprocessor=pre,
@@ -499,6 +512,8 @@ class StaticTrainer3D(TrainerBase):
             slot_mode=slot_mode,
             slot_builder=slot_builder,
             num_scales=len(magno_cfg.scales),
+            edge_layout=magno_cfg.edge_layout,
+            edge_chunk_size=magno_cfg.edge_chunk_size,
         )
         if self.setup_config.train:
             self.train_loader = BatchLoader(

@@ -43,6 +43,43 @@ def test_full_grid_smoke(tmp_path, monkeypatch):
     assert "MSE" in metrics
 
 
+def test_flat_edge_layout_smoke(tmp_path, monkeypatch):
+    """magno.edge_layout='flat' end to end: precompute sweep -> loader
+    converts stored slots to FlatEdgeChunks -> fused encoder + fused decode
+    head train/validate/test on them."""
+    from gaot3d_tpu.ops.grid_graph import FlatEdgeChunks
+
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={
+            "optimizer": {"args": {"epoch": 2}},
+            "dataset": {"update_pt_files_with_edges": True},
+            "model": {"args": {"magno": {"edge_layout": "flat",
+                                         "edge_chunk_size": 256}}},
+        },
+    )
+    assert np.isfinite(result["best"]["loss"])
+    batch = next(iter(trainer.test_loader))
+    assert isinstance(batch.enc_slots[0], FlatEdgeChunks)
+    assert batch.enc_slots[0].src.shape[1] == 3  # 768 padded nodes / 256
+    metrics = trainer.test()
+    assert np.isfinite(metrics["MSE"])
+
+
+def test_flat_edge_layout_requires_host_slots(tmp_path):
+    from gaot3d_tpu.config import RunConfig
+    from gaot3d_tpu.train.trainer import StaticTrainer3D
+    from gaot3d_tpu.utils.dataclass_utils import merge_config
+
+    cfg = merge_config(RunConfig(), {
+        "dataset": {"base_path": str(tmp_path), "name": "synthetic_smoke",
+                    "metaname": "synthetic/unit_cube"},
+        "model": {"args": {"magno": {"edge_layout": "flat"}}},
+    })
+    with pytest.raises(ValueError, match="flat"):
+        StaticTrainer3D(cfg)
+
+
 def test_neural_field_smoke(tmp_path, monkeypatch):
     trainer, result = _run(
         "configs/examples/synthetic/neural_field.yaml", tmp_path, monkeypatch
