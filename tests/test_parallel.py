@@ -77,6 +77,53 @@ def test_sharded_step_matches_single_device(mesh_shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4)
 
 
+def test_data_parallel_flat_edges_matches_single_device():
+    """FlatEdgeChunks batches shard over the data axis like any other leaf
+    ([B, nc, E]: batch axis only) and reproduce single-device results. Node
+    sharding stays 'slots'-only (trainer-guarded)."""
+    from gaot3d_tpu.ops.grid_graph import (
+        LatentGrid,
+        build_edge_slots_batched,
+        flatten_slots_host_batched,
+    )
+
+    model, state, batch, _ = _setup(batch=8)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(
+        batch.pos, grid, 0.4, k_neighbors=1, strategy="bidirectional",
+        point_mask=batch.node_mask,
+    )
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), 16, pad_multiple=8
+    )
+    fb = batch._replace(enc_slots=(flat,), dec_slots=(flat,))
+
+    def train_step(state, b, rng):
+        def loss_fn(p):
+            pred = model.apply(
+                p, b.pos, b.feats, b.node_mask,
+                encoder_slots=list(b.enc_slots), decoder_slots=list(b.dec_slots),
+            )
+            return masked_mse(pred, b.target, b.node_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    ref_state, ref_loss = jax.jit(train_step)(state, fb, jax.random.key(1))
+
+    mesh = make_mesh(data=8, node=1)
+    step = make_sharded_train_step(train_step, mesh, shard_nodes=False,
+                                   donate_state=False, example_batch=fb)
+    sb = shard_point_batch(fb, mesh, shard_nodes=False)
+    # flat leaves shard over the batch axis only
+    assert sb.enc_slots[0].src.addressable_shards[0].data.shape[0] == 1
+    with mesh:
+        out_state, loss = step(state, sb, jax.random.key(1))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4)
+
+
 def test_node_sharded_batch_placement():
     mesh = make_mesh(data=2, node=4)
     _, _, batch, _ = _setup()
