@@ -183,14 +183,15 @@ def flatten_slots_host(
     src = np.zeros((nc, E), np.int32)
     dst = np.zeros((nc, E), np.int32)
     msk = np.zeros((nc, E), bool)
-    lat_c = lat_idx.reshape(nc, chunk, K)
-    msk_c = mask.reshape(nc, chunk, K)
-    for c in range(nc):
-        n_loc, k_loc = np.nonzero(msk_c[c])
-        e = n_loc.shape[0]
-        src[c, :e] = n_loc
-        dst[c, :e] = lat_c[c][n_loc, k_loc]
-        msk[c, :e] = True
+    # one vectorized pass: np.nonzero is row-major, so edges arrive sorted by
+    # node (the layout invariant) and grouped by chunk
+    n_all, k_all = np.nonzero(mask)
+    chunk_of = n_all // chunk
+    starts = np.searchsorted(chunk_of, np.arange(nc))
+    within = np.arange(n_all.shape[0]) - starts[chunk_of]
+    src[chunk_of, within] = n_all % chunk
+    dst[chunk_of, within] = lat_idx[n_all, k_all]
+    msk[chunk_of, within] = True
     return src, dst, msk
 
 
