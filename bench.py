@@ -242,6 +242,7 @@ def main():
         # cost round 2 its driver bench (VERDICT.md round-2 item 1)
         payload_impl=os.environ.get("BENCH_PAYLOAD_IMPL", "xla"),
         fused_head=os.environ.get("BENCH_FUSED_HEAD", "1") == "1",
+        flat_order=os.environ.get("BENCH_FLAT_ORDER", "src"),
     )
     attn = TransformerConfig(
         patch_size=2,
@@ -328,11 +329,17 @@ def main():
             from gaot3d_tpu.ops.grid_graph import flatten_slots_host_batched
 
             chunk = effective_chunk(N, magno.edge_chunk_size)
+            # BENCH_FLAT_ORDER=dst: encoder lists sorted by latent cell ->
+            # presorted-fold reduce (magno.flat_order, set above)
             flat = flatten_slots_host_batched(
-                np.stack(lats), np.stack(msks), chunk
+                np.stack(lats), np.stack(msks), chunk, order=magno.flat_order
             )
             enc_slots = [flat]
-            dec_slots = [flat]
+            dec_slots = (
+                [flat]
+                if magno.flat_order == "src"
+                else [flatten_slots_host_batched(np.stack(lats), np.stack(msks), chunk)]
+            )
 
     checks = {} if fast else _pallas_regression_checks()
 

@@ -126,6 +126,7 @@ class BatchLoader:
         num_scales: int = 1,
         edge_layout: str = "slots",  # 'slots' | 'flat' (MAGNOConfig.edge_layout)
         edge_chunk_size: Optional[int] = None,  # model chunking (flat layout)
+        flat_order: str = "src",  # encoder flat ordering (MAGNOConfig.flat_order)
     ):
         self.dataset = dataset
         self.preprocessor = preprocessor
@@ -144,6 +145,7 @@ class BatchLoader:
         self.num_scales = num_scales
         self.edge_layout = edge_layout
         self.edge_chunk_size = edge_chunk_size
+        self.flat_order = flat_order
         if edge_layout not in ("slots", "flat"):
             raise ValueError(f"unknown edge_layout: {edge_layout}")
         if edge_layout == "flat" and slot_mode == "device":
@@ -226,16 +228,17 @@ class BatchLoader:
 
                 chunk = effective_chunk(n_pad, self.edge_chunk_size)
 
-                def to_flat(slot_tuple):
+                def to_flat(slot_tuple, order):
                     return tuple(
                         flatten_slots_host_batched(
-                            np.asarray(s.lat_idx), np.asarray(s.mask), chunk
+                            np.asarray(s.lat_idx), np.asarray(s.mask), chunk,
+                            order=order,
                         )
                         for s in slot_tuple
                     )
 
-                enc_slots = to_flat(enc_slots)
-                dec_slots = to_flat(dec_slots)
+                enc_slots = to_flat(enc_slots, self.flat_order)
+                dec_slots = to_flat(dec_slots, "src")  # decoder fold invariant
         return PointBatch(
             pos=jnp.asarray(pos),
             feats=jnp.asarray(feats),

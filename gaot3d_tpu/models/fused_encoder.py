@@ -52,6 +52,9 @@ class FusedEncoderScale(nn.Module):
     payload_impl: str = "xla"  # 'xla' (default; see MAGNOConfig.payload_impl
     # for why the kernel is opt-in) | 'auto' (Pallas payload kernel on TPU
     # when the shape qualifies) | 'pallas' (force; interpret off-TPU = tests)
+    flat_dst_sorted: bool = False  # flat edge lists arrive sorted by latent
+    # cell within each chunk (flatten_slots_host order='dst'): reduce with a
+    # presorted cumsum fold instead of a scatter (MAGNOConfig.flat_order)
 
     def setup(self):
         if self.use_gno:
@@ -243,6 +246,13 @@ class FusedEncoderScale(nn.Module):
             )
         )
         payload = jnp.concatenate(parts, axis=-1)
+        if self.flat_dst_sorted:
+            from ..ops.segment import fold_sum_sorted, make_segment_fold_presorted
+
+            def reduce_one(p, d, m):
+                return fold_sum_sorted(make_segment_fold_presorted(d, M, m), p)
+
+            return jax.vmap(reduce_one)(payload, dst_e, emask_e)
         return self._reduce(payload, dst_e, emask_e, M, None)
 
     def __call__(

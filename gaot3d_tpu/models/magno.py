@@ -120,6 +120,12 @@ class MAGNOConfig:
     # difference between fitting and not fitting 8M-node DrivAerML on one
     # chip). Applies when the decoder has no geoembed (the DrivAerNet/
     # DrivAerML recipes); numerically identical to the unfused tail.
+    flat_order: str = "src"  # flat-layout ENCODER edge ordering: 'src'
+    # (natural (node, slot) order; reduce = scatter segment-sum) | 'dst'
+    # (chunk edges sorted by latent cell; reduce = presorted cumsum fold, no
+    # scatter anywhere in the encoder). Decoder lists are always src-sorted
+    # (its fold-by-node invariant). Must match how the flat lists were built
+    # (the data pipeline and bench derive both from this knob).
     edge_layout: str = "slots"  # precomputed-edge layout fed to the model:
     # 'slots' ([N, K] stencil windows) | 'flat' (per-chunk compacted edge
     # lists, ops/grid_graph.py FlatEdgeChunks — drops the ~52% masked slots
@@ -271,6 +277,7 @@ class MAGNOEncoder(nn.Module):
                 use_gno=cfg.use_gno,
                 kernel_dtype=cfg.kernel_dtype,
                 payload_impl=cfg.payload_impl,
+                flat_dst_sorted=cfg.flat_order == "dst",
             )
         else:
             if cfg.use_gno:

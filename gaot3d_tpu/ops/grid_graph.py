@@ -161,6 +161,7 @@ def flatten_slots_host(
     chunk: int,
     pad_multiple: int = 8192,
     edges_per_chunk: int = 0,
+    order: str = "src",
 ):
     """[N, K] slots -> per-chunk flat (src_local, dst, mask), numpy host-side.
 
@@ -168,7 +169,15 @@ def flatten_slots_host(
     rounded up to pad_multiple, or the caller-pinned `edges_per_chunk` (must
     cover the max — asserted, like the slot_budget honesty guard). Returns
     (src [nc, E] int32, dst [nc, E] int32, mask [nc, E] bool).
+
+    order: 'src' (default; edges sorted ascending by local node — the decoder
+    fold-by-src invariant) | 'dst' (each chunk's valid prefix stable-sorted by
+    latent cell — lets the encoder reduce with a presorted cumsum fold instead
+    of a scatter, MAGNOConfig.flat_order). Padding stays packed at the tail
+    either way.
     """
+    if order not in ("src", "dst"):
+        raise ValueError(f"unknown flat edge order: {order}")
     N, K = lat_idx.shape
     if N % chunk != 0:
         raise ValueError(f"chunk {chunk} must divide N {N}")
@@ -192,6 +201,12 @@ def flatten_slots_host(
     src[chunk_of, within] = n_all % chunk
     dst[chunk_of, within] = lat_idx[n_all, k_all]
     msk[chunk_of, within] = True
+    if order == "dst":
+        key = np.where(msk, dst, np.iinfo(np.int32).max)
+        perm = np.argsort(key, axis=1, kind="stable")
+        src = np.take_along_axis(src, perm, axis=1)
+        dst = np.take_along_axis(dst, perm, axis=1)
+        msk = np.take_along_axis(msk, perm, axis=1)
     return src, dst, msk
 
 
@@ -200,6 +215,7 @@ def flatten_slots_host_batched(
     mask: np.ndarray,
     chunk: int,
     pad_multiple: int = 8192,
+    order: str = "src",
 ) -> "FlatEdgeChunks":
     """[B, N, K] slots -> FlatEdgeChunks [B, nc, E] (one shared E across the
     batch — the max per-chunk valid count over all samples, padded)."""
@@ -208,14 +224,14 @@ def flatten_slots_host_batched(
     B = lat_idx.shape[0]
     per = [
         flatten_slots_host(np.asarray(lat_idx[b]), np.asarray(mask[b]), chunk,
-                           pad_multiple=pad_multiple)
+                           pad_multiple=pad_multiple, order=order)
         for b in range(B)
     ]
     E = max(p[0].shape[1] for p in per)
     if any(p[0].shape[1] != E for p in per):
         per = [
             flatten_slots_host(np.asarray(lat_idx[b]), np.asarray(mask[b]), chunk,
-                               edges_per_chunk=E)
+                               edges_per_chunk=E, order=order)
             for b in range(B)
         ]
     return FlatEdgeChunks(

@@ -514,6 +514,7 @@ class StaticTrainer3D(TrainerBase):
             num_scales=len(magno_cfg.scales),
             edge_layout=magno_cfg.edge_layout,
             edge_chunk_size=magno_cfg.edge_chunk_size,
+            flat_order=magno_cfg.flat_order,
         )
         if self.setup_config.train:
             self.train_loader = BatchLoader(

@@ -124,13 +124,39 @@ def _flagship_model(**magno_kw):
     return init_model(2, 1, "gaot_3d", magno, attn, latent_tokens=(4, 4, 4))
 
 
-@pytest.mark.parametrize("transform_type", ["linear", "nonlinear"])
-def test_flat_full_model_matches_slotted(transform_type):
+def test_flatten_slots_dst_order():
+    """order='dst': each chunk's valid prefix is sorted by latent cell, same
+    edge set, padding still at the tail."""
+    rng = np.random.default_rng(13)
+    N, K, chunk = 64, 5, 16
+    lat_idx = rng.integers(0, 100, (N, K)).astype(np.int32)
+    mask = rng.random((N, K)) < 0.5
+    s_src, s_dst, s_msk = flatten_slots_host(lat_idx, mask, chunk, pad_multiple=8)
+    d_src, d_dst, d_msk = flatten_slots_host(lat_idx, mask, chunk, pad_multiple=8,
+                                             order="dst")
+    nc = N // chunk
+    for c in range(nc):
+        want = sorted(
+            (int(d), int(s)) for s, d, m in zip(s_src[c], s_dst[c], s_msk[c]) if m
+        )
+        got = [(int(d), int(s)) for s, d, m in zip(d_src[c], d_dst[c], d_msk[c]) if m]
+        assert sorted(got) == want
+        dsts = [d for d, _ in got]
+        assert dsts == sorted(dsts)  # valid prefix sorted by dst
+        assert not d_msk[c, len(got):].any()
+
+
+@pytest.mark.parametrize("transform_type,flat_order",
+                         [("linear", "src"), ("nonlinear", "src"), ("linear", "dst")])
+def test_flat_full_model_matches_slotted(transform_type, flat_order):
     """Full model (fused encoder + fused decode head) with FlatEdgeChunks ==
-    the same model with EdgeSlots on the same edges: outputs and grads."""
+    the same model with EdgeSlots on the same edges: outputs and grads.
+    flat_order='dst' additionally swaps the encoder scatter for the presorted
+    cumsum fold."""
     model = _flagship_model(
         in_gno_transform_type=transform_type,
         out_gno_transform_type=transform_type,
+        flat_order=flat_order,
     )
     rng = np.random.default_rng(23)
     B, N, chunk = 2, 64, 16
@@ -142,10 +168,14 @@ def test_flat_full_model_matches_slotted(transform_type):
     grid = LatentGrid(dims=(4, 4, 4))
     slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
                                      strategy="bidirectional", point_mask=mask)
-    flat = flatten_slots_host_batched(
+    flat_enc = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8,
+        order=flat_order,
+    )
+    flat_dec = flatten_slots_host_batched(
         np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8
     )
-    assert flat.src.shape[:2] == (B, N // chunk)
+    assert flat_enc.src.shape[:2] == (B, N // chunk)
 
     params = model.init({"params": jax.random.key(0)}, pos, feats, mask,
                         encoder_slots=[slots], decoder_slots=[slots])
@@ -155,7 +185,9 @@ def test_flat_full_model_matches_slotted(transform_type):
         return jnp.sum((pred - target) ** 2), pred
 
     (l_s, out_s), g_s = jax.value_and_grad(loss, has_aux=True)(params, [slots], [slots])
-    (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(params, [flat], [flat])
+    (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(
+        params, [flat_enc], [flat_dec]
+    )
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=5e-5)
     np.testing.assert_allclose(float(l_f), float(l_s), rtol=1e-5)
     chex.assert_trees_all_close(g_f, g_s, atol=2e-4, rtol=2e-4)
