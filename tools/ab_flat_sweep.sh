@@ -1,0 +1,19 @@
+#!/bin/bash
+# Sequential device-timed A/B of the flat edge layout (run when the TPU
+# tunnel is healthy). Each run: 6 steps, device-profiler timing, no eval on
+# the A/B legs (eval only on the final candidate). Logs to /tmp/ab_*.log.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  local name="$1"; shift
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  env "$@" BENCH_STEPS=6 BENCH_DEVICE_TIME=1 BENCH_EVAL=0 \
+    timeout 3600 python bench.py > "/tmp/ab_${name}.log" 2>&1
+  echo "rc=$? $(tail -c 400 /tmp/ab_${name}.log | grep -o '"step_time_s": [0-9.]*' | tail -1)"
+}
+
+run baseline_slots
+run flat_src BENCH_EDGE_LAYOUT=flat
+run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
+echo "=== done ==="
