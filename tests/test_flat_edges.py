@@ -193,6 +193,33 @@ def test_flat_full_model_matches_slotted(transform_type, flat_order):
     chex.assert_trees_all_close(g_f, g_s, atol=2e-4, rtol=2e-4)
 
 
+def test_flat_multiscale_scale_weights_matches():
+    """Flat layout through the multiscale fused head with learned scale
+    weights: per-scale flat lists (different E per scale is allowed as long
+    as chunking agrees) == slotted."""
+    model = _flagship_model(scales=[1.0, 2.0], use_scale_weights=True)
+    rng = np.random.default_rng(37)
+    B, N, chunk = 1, 64, 16
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slotted, flats = [], []
+    for scale in (1.0, 2.0):
+        s = build_edge_slots_batched(pos, grid, 0.45 * scale, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+        slotted.append(s)
+        flats.append(flatten_slots_host_batched(
+            np.asarray(s.lat_idx), np.asarray(s.mask), chunk, pad_multiple=8))
+    params = model.init({"params": jax.random.key(5)}, pos, feats, mask,
+                        encoder_slots=slotted, decoder_slots=slotted)
+    out_s = model.apply(params, pos, feats, mask,
+                        encoder_slots=slotted, decoder_slots=slotted)
+    out_f = model.apply(params, pos, feats, mask,
+                        encoder_slots=flats, decoder_slots=flats)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=5e-5)
+
+
 def test_flat_decoder_plain_tail_matches():
     """Flat edges through the non-fused decoder tail (IntegralTransform
     __call__ flat branch) == slotted."""

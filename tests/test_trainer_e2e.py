@@ -66,6 +66,27 @@ def test_flat_edge_layout_smoke(tmp_path, monkeypatch):
     assert np.isfinite(metrics["MSE"])
 
 
+def test_flat_edge_layout_async_smoke(tmp_path, monkeypatch):
+    """Flat layout over ASYNC host graph building (loader threads build
+    slots, batch assembly compacts them) — the other supported source."""
+    from gaot3d_tpu.ops.grid_graph import FlatEdgeChunks
+
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={
+            "optimizer": {"args": {"epoch": 2}},
+            "setup": {"test": False},
+            "model": {"args": {"magno": {"edge_layout": "flat",
+                                         "edge_chunk_size": 256,
+                                         "flat_order": "dst",
+                                         "asynchronous_graph_building": True}}},
+        },
+    )
+    assert np.isfinite(result["best"]["loss"])
+    batch = next(iter(trainer.val_loader))
+    assert isinstance(batch.enc_slots[0], FlatEdgeChunks)
+
+
 def test_flat_edge_layout_requires_host_slots(tmp_path):
     from gaot3d_tpu.config import RunConfig
     from gaot3d_tpu.train.trainer import StaticTrainer3D
