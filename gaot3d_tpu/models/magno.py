@@ -133,7 +133,9 @@ class MAGNOConfig:
     # encoder + GNO-only decoder and precomputed edges, no edge sampling;
     # numerically identical to 'slots' on the same edges, asserted by
     # tests/test_flat_edges.py). The data pipeline converts stored slots to
-    # this layout at batch assembly; node sharding currently requires 'slots'.
+    # this layout at batch assembly. Node sharding: the [B, nc, E] chunk axis
+    # shards alongside the point axis (src indices are chunk-local), verified
+    # exact on the CPU mesh (tests/test_parallel.py).
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:

@@ -491,17 +491,17 @@ class StaticTrainer3D(TrainerBase):
                         )
 
         if magno_cfg.edge_layout == "flat":
-            # flat edge lists need host-built slots and the fused model paths;
-            # node sharding still expects the [N, K] layout
+            # flat edge lists need host-built slots and the fused model paths.
+            # Node sharding works: flat leaves are [B, nc, E] and the chunk
+            # axis shards alongside the point axis (each device holds its own
+            # chunks' edges; src indices are chunk-local) — exactness pinned
+            # by tests/test_parallel.py::test_node_sharded_flat_edges.
             if slot_mode == "device":
                 raise ValueError(
                     "magno.edge_layout='flat' requires precomputed or async "
                     "graph building (update_pt_files_with_edges or "
                     "asynchronous_graph_building)"
                 )
-            if getattr(self.setup_config, "node_shards", 1) > 1:
-                raise ValueError("magno.edge_layout='flat' does not support "
-                                 "node sharding yet; use 'slots'")
 
         shard_kw = dict(num_shards=self.num_processes, shard_index=self.process_index)
         common = dict(

@@ -124,6 +124,52 @@ def test_data_parallel_flat_edges_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4)
 
 
+def test_node_sharded_flat_edges_matches_single_device():
+    """Flat edges under NODE sharding: the [B, nc, E] chunk axis shards
+    alongside the point axis (each device holds its own chunks' edges, src
+    indices are chunk-local), and the step matches single-device exactly."""
+    from gaot3d_tpu.ops.grid_graph import (
+        LatentGrid,
+        build_edge_slots_batched,
+        flatten_slots_host_batched,
+    )
+
+    model, state, batch, _ = _setup(n_nodes=128, batch=2)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(
+        batch.pos, grid, 0.4, k_neighbors=1, strategy="bidirectional",
+        point_mask=batch.node_mask,
+    )
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), 16, pad_multiple=8
+    )
+    fb = batch._replace(enc_slots=(flat,), dec_slots=(flat,))
+
+    def train_step(state, b, rng):
+        def loss_fn(p):
+            pred = model.apply(
+                p, b.pos, b.feats, b.node_mask,
+                encoder_slots=list(b.enc_slots), decoder_slots=list(b.dec_slots),
+            )
+            return masked_mse(pred, b.target, b.node_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    ref_state, ref_loss = jax.jit(train_step)(state, fb, jax.random.key(1))
+    mesh = make_mesh(data=2, node=4)
+    step = make_sharded_train_step(train_step, mesh, shard_nodes=True,
+                                   donate_state=False, example_batch=fb)
+    sb = shard_point_batch(fb, mesh, shard_nodes=True)
+    # 8 chunks / 4 node shards -> 2 chunks per device
+    assert sb.enc_slots[0].src.addressable_shards[0].data.shape[1] == 2
+    with mesh:
+        out_state, loss = step(state, sb, jax.random.key(1))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4)
+
+
 def test_node_sharded_batch_placement():
     mesh = make_mesh(data=2, node=4)
     _, _, batch, _ = _setup()
