@@ -189,6 +189,33 @@ def flatten_slots_host(
         f"edges_per_chunk {E} < max per-chunk valid count {max_valid}: "
         "edges would be dropped"
     )
+    lib = _load_graph_library()
+    if lib is not None:
+        import ctypes
+        import os as _os
+
+        lat_c = np.ascontiguousarray(lat_idx, np.int32)
+        msk_c = np.ascontiguousarray(mask, np.uint8)
+        src = np.empty((nc, E), np.int32)
+        dst = np.empty((nc, E), np.int32)
+        out_m = np.empty((nc, E), np.uint8)
+        got = lib.gaot_flatten_slots(
+            lat_c.ctypes.data_as(ctypes.c_void_p),
+            msk_c.ctypes.data_as(ctypes.c_void_p),
+            N, K, chunk, E, 1 if order == "dst" else 0,
+            src.ctypes.data_as(ctypes.c_void_p),
+            dst.ctypes.data_as(ctypes.c_void_p),
+            out_m.ctypes.data_as(ctypes.c_void_p),
+            max(1, _os.cpu_count() or 1),
+        )
+        if got < 0:  # pragma: no cover — argument mismatch: fail loudly
+            raise RuntimeError(f"gaot_flatten_slots failed rc={got}")
+        assert got <= E, (
+            f"edges_per_chunk {E} < max per-chunk valid count {got}: "
+            "edges would be dropped"
+        )
+        return src, dst, out_m.astype(bool)
+
     src = np.zeros((nc, E), np.int32)
     dst = np.zeros((nc, E), np.int32)
     msk = np.zeros((nc, E), bool)
@@ -531,6 +558,14 @@ def _load_graph_library():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,              # w0..w2
             ctypes.c_int,                                          # budget
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,        # out idx/mask/k
+            ctypes.c_int,                                          # n_threads
+        ]
+        lib.gaot_flatten_slots.restype = ctypes.c_int64
+        lib.gaot_flatten_slots.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,                      # lat_idx, mask
+            ctypes.c_int64, ctypes.c_int,                          # n, k
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,          # chunk, E, order
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,     # src, dst, mask
             ctypes.c_int,                                          # n_threads
         ]
         _GRAPH_LIB = lib

@@ -133,9 +133,80 @@ void build_range(const float* pts, int64_t begin, int64_t end, GridSpec g,
   }
 }
 
+void flatten_range(const int32_t* lat_idx, const uint8_t* mask, int k,
+                   int64_t chunk, int64_t c_begin, int64_t c_end, int64_t E,
+                   int order_dst, int32_t* src, int32_t* dst, uint8_t* out_mask,
+                   int64_t* max_count) {
+  std::vector<std::pair<int32_t, int32_t>> buf;  // (dst, src_local)
+  buf.reserve((size_t)E);
+  int64_t mx = 0;
+  for (int64_t c = c_begin; c < c_end; ++c) {
+    buf.clear();
+    const int64_t n0 = c * chunk;
+    for (int64_t n = 0; n < chunk; ++n) {
+      const uint8_t* mrow = mask + (n0 + n) * k;
+      const int32_t* irow = lat_idx + (n0 + n) * k;
+      for (int s = 0; s < k; ++s)
+        if (mrow[s]) buf.emplace_back(irow[s], (int32_t)n);
+    }
+    int64_t cnt = (int64_t)buf.size();
+    if (cnt > mx) mx = cnt;
+    if (cnt > E) cnt = E;  // caller checks max_count and errors out
+    if (order_dst)
+      std::stable_sort(buf.begin(), buf.begin() + cnt);  // by (dst, src)
+    int32_t* sr = src + c * E;
+    int32_t* dr = dst + c * E;
+    uint8_t* mr = out_mask + c * E;
+    for (int64_t e = 0; e < cnt; ++e) {
+      sr[e] = buf[(size_t)e].second;
+      dr[e] = buf[(size_t)e].first;
+      mr[e] = 1;
+    }
+    std::memset(sr + cnt, 0, sizeof(int32_t) * (size_t)(E - cnt));
+    std::memset(dr + cnt, 0, sizeof(int32_t) * (size_t)(E - cnt));
+    std::memset(mr + cnt, 0, (size_t)(E - cnt));
+  }
+  *max_count = mx;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Compact [N, K] slots into per-chunk flat (src_local, dst, mask) lists (the
+// FlatEdgeChunks layout, ops/grid_graph.py flatten_slots_host). order_dst=1
+// stable-sorts each chunk's valid prefix by destination cell (flat_order
+// 'dst'); 0 keeps natural (node, slot) order ('src'). Returns the max valid
+// count over chunks (caller errors when it exceeds E), or -1 on bad args.
+int64_t gaot_flatten_slots(const int32_t* lat_idx, const uint8_t* mask,
+                           int64_t n_points, int k, int64_t chunk, int64_t E,
+                           int order_dst, int32_t* src, int32_t* dst,
+                           uint8_t* out_mask, int n_threads) {
+  if (!lat_idx || !mask || !src || !dst || !out_mask) return -1;
+  if (chunk <= 0 || n_points % chunk != 0 || E <= 0) return -1;
+  const int64_t nc = n_points / chunk;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > nc) n_threads = (int)nc;
+  std::vector<int64_t> maxes((size_t)n_threads, 0);
+  if (n_threads == 1) {
+    flatten_range(lat_idx, mask, k, chunk, 0, nc, E, order_dst, src, dst,
+                  out_mask, &maxes[0]);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (nc + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t b = t * per;
+      int64_t e = std::min<int64_t>(b + per, nc);
+      if (b >= e) break;
+      ts.emplace_back(flatten_range, lat_idx, mask, k, chunk, b, e, E,
+                      order_dst, src, dst, out_mask, &maxes[(size_t)t]);
+    }
+    for (auto& th : ts) th.join();
+  }
+  int64_t mx = 0;
+  for (int64_t v : maxes) mx = std::max(mx, v);
+  return mx;
+}
 
 // Returns 0 on success. out_k must be (budget > 0 ? budget : w0*w1*w2).
 int gaot_build_slots(const float* pts, int64_t n_points, const float* lo,

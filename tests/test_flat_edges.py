@@ -59,6 +59,26 @@ def test_flatten_slots_roundtrip():
         assert not msk[c, len(got):].any()
 
 
+@pytest.mark.parametrize("order", ["src", "dst"])
+def test_flatten_slots_native_matches_numpy(order, monkeypatch):
+    """The threaded C++ flatten (native/gaot_graph.cpp gaot_flatten_slots)
+    must produce bit-identical output to the numpy twin, both orders."""
+    from gaot3d_tpu.ops import grid_graph as gg
+
+    if gg._load_graph_library() is None:
+        pytest.skip("native graph library unavailable")
+    rng = np.random.default_rng(17)
+    N, K, chunk = 256, 5, 32
+    lat_idx = rng.integers(0, 500, (N, K)).astype(np.int32)
+    mask = rng.random((N, K)) < 0.5
+    nat = flatten_slots_host(lat_idx, mask, chunk, pad_multiple=8, order=order)
+    monkeypatch.setattr(gg, "_GRAPH_LIB", None)
+    monkeypatch.setattr(gg, "_GRAPH_LIB_TRIED", True)
+    ref = flatten_slots_host(lat_idx, mask, chunk, pad_multiple=8, order=order)
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_flatten_slots_overflow_guard():
     lat_idx = np.zeros((8, 4), np.int32)
     mask = np.ones((8, 4), bool)
