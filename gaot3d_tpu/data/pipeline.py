@@ -127,6 +127,7 @@ class BatchLoader:
         edge_layout: str = "slots",  # 'slots' | 'flat' (MAGNOConfig.edge_layout)
         edge_chunk_size: Optional[int] = None,  # model chunking (flat layout)
         flat_order: str = "src",  # encoder flat ordering (MAGNOConfig.flat_order)
+        flat_edges_per_chunk: int = 0,  # pinned E (MAGNOConfig.flat_edges_per_chunk)
     ):
         self.dataset = dataset
         self.preprocessor = preprocessor
@@ -146,6 +147,7 @@ class BatchLoader:
         self.edge_layout = edge_layout
         self.edge_chunk_size = edge_chunk_size
         self.flat_order = flat_order
+        self.flat_edges_per_chunk = flat_edges_per_chunk
         if edge_layout not in ("slots", "flat"):
             raise ValueError(f"unknown edge_layout: {edge_layout}")
         if edge_layout == "flat" and slot_mode == "device":
@@ -233,6 +235,7 @@ class BatchLoader:
                         flatten_slots_host_batched(
                             np.asarray(s.lat_idx), np.asarray(s.mask), chunk,
                             order=order,
+                            edges_per_chunk=self.flat_edges_per_chunk,
                         )
                         for s in slot_tuple
                     )

@@ -120,12 +120,21 @@ class MAGNOConfig:
     # difference between fitting and not fitting 8M-node DrivAerML on one
     # chip). Applies when the decoder has no geoembed (the DrivAerNet/
     # DrivAerML recipes); numerically identical to the unfused tail.
+    flat_edges_per_chunk: Optional[int] = None  # pin the flat layout's static
+    # per-chunk edge budget E. None = auto (max per-chunk valid count rounded
+    # to 8192) — E can then drift across batches on variable-density data,
+    # and EVERY new E is a fresh XLA compile of the train step (remote
+    # compiles are 15-25 min). Pin it for production runs; the conversion
+    # raises (never silently drops edges) if a chunk exceeds the pin.
     flat_order: str = "src"  # flat-layout ENCODER edge ordering: 'src'
     # (natural (node, slot) order; reduce = scatter segment-sum) | 'dst'
     # (chunk edges sorted by latent cell; reduce = presorted cumsum fold, no
     # scatter anywhere in the encoder). Decoder lists are always src-sorted
-    # (its fold-by-node invariant). Must match how the flat lists were built
-    # (the data pipeline and bench derive both from this knob).
+    # (its fold-by-node invariant). MUST match how the flat lists were built:
+    # the presorted fold trusts the ordering (searchsorted boundaries), so
+    # 'dst' over src-ordered lists produces WRONG results with no error. The
+    # data pipeline and bench derive both sides from this one knob; only
+    # hand-fed FlatEdgeChunks can mismatch.
     edge_layout: str = "slots"  # precomputed-edge layout fed to the model:
     # 'slots' ([N, K] stencil windows) | 'flat' (per-chunk compacted edge
     # lists, ops/grid_graph.py FlatEdgeChunks — drops the ~52% masked slots
@@ -328,11 +337,18 @@ class MAGNOEncoder(nn.Module):
             if isinstance(slots, FlatEdgeChunks):
                 # pre-compacted flat edge lists (flatten_slots_host): masked
                 # slots were dropped at build time; sampling/compaction do not
-                # apply. Fused-path only (the flagship recipe).
+                # apply. Fused-path only (the flagship recipe). Refuse ANY
+                # edge-modifying config (incl. eval-time deterministic caps,
+                # which the slotted path applies train AND eval) — silently
+                # skipping them would diverge from the slotted layout.
                 if not use_fused:
                     raise ValueError("flat edge layout requires the fused encoder")
-                if train and cfg.sampling_strategy in ("ratio", "max_neighbors"):
-                    raise ValueError("edge sampling is not supported with flat edges")
+                if cfg.sampling_strategy is not None or cfg.max_radius_neighbors is not None:
+                    raise ValueError(
+                        "edge sampling / radius caps are not supported with "
+                        "flat edges (sampling_strategy and "
+                        "max_radius_neighbors must be None)"
+                    )
             else:
                 rng = (
                     self.make_rng("edges")
@@ -491,11 +507,17 @@ class MAGNODecoder(nn.Module):
 
             if isinstance(slots, FlatEdgeChunks):
                 # pre-compacted flat edge lists: no sampling/compaction; the
-                # GNO-only decoder tail (fused head or plain) consumes them
+                # GNO-only decoder tail (fused head or plain) consumes them.
+                # Any edge-modifying config (incl. eval-time caps) refuses —
+                # see the encoder-side comment.
                 if use_geo:
                     raise ValueError("flat edge layout: decoder geoembed unsupported")
-                if train and cfg.sampling_strategy in ("ratio", "max_neighbors"):
-                    raise ValueError("edge sampling is not supported with flat edges")
+                if cfg.sampling_strategy is not None or cfg.max_radius_neighbors is not None:
+                    raise ValueError(
+                        "edge sampling / radius caps are not supported with "
+                        "flat edges (sampling_strategy and "
+                        "max_radius_neighbors must be None)"
+                    )
             else:
                 rng = (
                     self.make_rng("edges")

@@ -185,10 +185,14 @@ def flatten_slots_host(
     counts = mask.reshape(nc, chunk * K).sum(axis=1)
     max_valid = int(counts.max()) if nc else 0
     E = edges_per_chunk or -(-max(max_valid, 1) // pad_multiple) * pad_multiple
-    assert max_valid <= E, (
-        f"edges_per_chunk {E} < max per-chunk valid count {max_valid}: "
-        "edges would be dropped"
-    )
+    if max_valid > E:
+        # hard error, not assert: the native path truncates writes at E, so
+        # under python -O a stripped assert would silently prune the graph
+        # (same honesty contract as the trainer's slot_budget guard)
+        raise ValueError(
+            f"edges_per_chunk {E} < max per-chunk valid count {max_valid}: "
+            "edges would be dropped"
+        )
     lib = _load_graph_library()
     if lib is not None:
         import ctypes
@@ -210,10 +214,11 @@ def flatten_slots_host(
         )
         if got < 0:  # pragma: no cover — argument mismatch: fail loudly
             raise RuntimeError(f"gaot_flatten_slots failed rc={got}")
-        assert got <= E, (
-            f"edges_per_chunk {E} < max per-chunk valid count {got}: "
-            "edges would be dropped"
-        )
+        if got > E:
+            raise ValueError(
+                f"edges_per_chunk {E} < max per-chunk valid count {got}: "
+                "edges would be dropped"
+            )
         return src, dst, out_m.astype(bool)
 
     src = np.zeros((nc, E), np.int32)
@@ -243,23 +248,31 @@ def flatten_slots_host_batched(
     chunk: int,
     pad_multiple: int = 8192,
     order: str = "src",
+    edges_per_chunk: int = 0,
 ) -> "FlatEdgeChunks":
     """[B, N, K] slots -> FlatEdgeChunks [B, nc, E] (one shared E across the
-    batch — the max per-chunk valid count over all samples, padded)."""
+    batch — the max per-chunk valid count over all samples, padded; or the
+    caller-pinned edges_per_chunk, which keeps E — and therefore the compiled
+    train-step shape — constant across batches)."""
     import jax.numpy as _jnp
 
     B = lat_idx.shape[0]
     per = [
         flatten_slots_host(np.asarray(lat_idx[b]), np.asarray(mask[b]), chunk,
-                           pad_multiple=pad_multiple, order=order)
+                           pad_multiple=pad_multiple, order=order,
+                           edges_per_chunk=edges_per_chunk)
         for b in range(B)
     ]
     E = max(p[0].shape[1] for p in per)
     if any(p[0].shape[1] != E for p in per):
+        # padding is already packed at the tail, so growing E is a zero-pad
+        # of all three arrays — no re-flatten
         per = [
-            flatten_slots_host(np.asarray(lat_idx[b]), np.asarray(mask[b]), chunk,
-                               edges_per_chunk=E, order=order)
-            for b in range(B)
+            tuple(
+                np.pad(a, ((0, 0), (0, E - a.shape[1])))
+                for a in p
+            )
+            for p in per
         ]
     return FlatEdgeChunks(
         src=_jnp.asarray(np.stack([p[0] for p in per])),

@@ -515,6 +515,7 @@ class StaticTrainer3D(TrainerBase):
             edge_layout=magno_cfg.edge_layout,
             edge_chunk_size=magno_cfg.edge_chunk_size,
             flat_order=magno_cfg.flat_order,
+            flat_edges_per_chunk=magno_cfg.flat_edges_per_chunk or 0,
         )
         if self.setup_config.train:
             self.train_loader = BatchLoader(

@@ -82,7 +82,9 @@ def test_flatten_slots_native_matches_numpy(order, monkeypatch):
 def test_flatten_slots_overflow_guard():
     lat_idx = np.zeros((8, 4), np.int32)
     mask = np.ones((8, 4), bool)
-    with pytest.raises(AssertionError, match="edges would be dropped"):
+    # hard ValueError (not assert): survives python -O, and the native path
+    # would otherwise truncate writes silently
+    with pytest.raises(ValueError, match="edges would be dropped"):
         flatten_slots_host(lat_idx, mask, 4, edges_per_chunk=8)
 
 
@@ -294,3 +296,19 @@ def test_flat_rejects_unsupported_configs():
     with pytest.raises(ValueError, match="fused encoder"):
         m_mod.apply(p_mod, pos, feats, mask,
                     encoder_slots=[flat], decoder_slots=[flat])
+
+    # edge-modifying configs refuse flat EVEN AT EVAL (the slotted path
+    # applies deterministic caps train and eval; skipping them silently
+    # would diverge from the slotted layout)
+    m_cap = _flagship_model(max_radius_neighbors=32)
+    p_cap = m_cap.init({"params": jax.random.key(4)}, pos, feats, mask,
+                       encoder_slots=[slots], decoder_slots=[slots])
+    with pytest.raises(ValueError, match="radius caps"):
+        m_cap.apply(p_cap, pos, feats, mask,
+                    encoder_slots=[flat], decoder_slots=[flat])
+    m_samp = _flagship_model(sampling_strategy="max_neighbors", max_neighbors=4)
+    p_samp = m_samp.init({"params": jax.random.key(5)}, pos, feats, mask,
+                         encoder_slots=[slots], decoder_slots=[slots])
+    with pytest.raises(ValueError, match="edge sampling"):
+        m_samp.apply(p_samp, pos, feats, mask,
+                     encoder_slots=[flat], decoder_slots=[flat])

@@ -79,8 +79,8 @@ def test_sharded_step_matches_single_device(mesh_shape):
 
 def test_data_parallel_flat_edges_matches_single_device():
     """FlatEdgeChunks batches shard over the data axis like any other leaf
-    ([B, nc, E]: batch axis only) and reproduce single-device results. Node
-    sharding stays 'slots'-only (trainer-guarded)."""
+    ([B, nc, E]: batch axis only) and reproduce single-device results (see
+    test_node_sharded_flat_edges_matches_single_device for the node axis)."""
     from gaot3d_tpu.ops.grid_graph import (
         LatentGrid,
         build_edge_slots_batched,

@@ -10,7 +10,11 @@ run() {
   echo "=== $name ($(date +%H:%M:%S)) ==="
   env "$@" BENCH_STEPS=6 BENCH_DEVICE_TIME=1 BENCH_EVAL=0 \
     timeout 3600 python bench.py > "/tmp/ab_${name}.log" 2>&1
-  echo "rc=$? $(tail -c 400 /tmp/ab_${name}.log | grep -o '"step_time_s": [0-9.]*' | tail -1)"
+  local rc=$?
+  # with BENCH_DEVICE_TIME=1 the honest number is device_step_time_s /
+  # device_sps (the profiler distorts wall-clock step_time_s — see bench.py)
+  echo "rc=$rc $(grep -o '"device_step_time_s": [0-9.]*\|"device_sps": [0-9.]*' \
+    "/tmp/ab_${name}.log" | tr '\n' ' ')"
 }
 
 run baseline_slots
