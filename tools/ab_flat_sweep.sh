@@ -20,4 +20,10 @@ run() {
 run baseline_slots
 run flat_src BENCH_EDGE_LAYOUT=flat
 run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
+
+# warm the exact driver configuration (defaults, eval on, wall timing) so
+# BENCH_r{N} hits the compilation cache
+echo "=== driver_default ($(date +%H:%M:%S)) ==="
+timeout 3600 python bench.py > /tmp/ab_driver_default.log 2>&1
+echo "rc=$? $(tail -1 /tmp/ab_driver_default.log | head -c 300)"
 echo "=== done ==="
