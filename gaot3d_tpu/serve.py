@@ -1,0 +1,98 @@
+"""Serving export: serialize a compiled GAOT3D inference function to disk.
+
+The reference has no deployment story beyond `t.test()` (checkpoint + python
+stack required at inference time, src/trainer/stat.py:575-788). For
+production serving on TPU, the natural JAX artifact is an exported StableHLO
+function (`jax.export`): a single file that any later process — or a C++
+serving binary via the PJRT C API — can load and call without the model code,
+flax, or this package.
+
+The exported function is the EVAL forward: (params baked in as constants)
+taking (pos [B,N,3], feats [B,N,C], mask [B,N]) plus optional precomputed
+edge structures, returning predictions [B,N,out]. Shapes are static (the
+framework's padded-batch invariant), so one export per deployment bucket.
+
+Usage:
+    from gaot3d_tpu.serve import export_inference, load_inference
+    export_inference(model, params, example, "model.gaotx")           # once
+    infer = load_inference("model.gaotx")                             # serve
+    pred = infer(pos, feats, mask)
+
+`platforms` cross-lowers from any host (e.g. export for 'tpu' on a CPU build
+machine). Edge structures (EdgeSlots / FlatEdgeChunks) are passed as leading
+pytree args at call time when `example` carries them — precomputed-graph
+serving skips the on-device build.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+
+MAGIC = b"GAOTX001"
+
+
+def _register_pytrees():
+    """jax.export serializes call signatures, so the framework's NamedTuple
+    pytrees (edge structures) need stable serialization names."""
+    from jax import export as jax_export
+
+    from .ops.grid_graph import EdgeSlots, FlatEdgeChunks
+
+    for cls in (EdgeSlots, FlatEdgeChunks):
+        try:
+            jax_export.register_namedtuple_serialization(
+                cls, serialized_name=f"gaot3d_tpu.{cls.__name__}"
+            )
+        except ValueError:  # already registered in this process
+            pass
+
+
+def export_inference(
+    model,
+    params,
+    example_args: Tuple,
+    path: str,
+    example_kwargs: Optional[dict] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Serialize `model.apply(params, *example_args, **example_kwargs,
+    train=False)` (params baked in) at the example's exact shapes.
+
+    example_kwargs may carry `encoder_slots` / `decoder_slots` — they are
+    closed over (baked) if given here; to supply them at CALL time instead,
+    put the structures into example_args via a wrapper before exporting.
+    platforms: e.g. ["tpu"] to cross-lower for TPU serving from a CPU host
+    (default: the current backend)."""
+    from jax import export as jax_export
+
+    _register_pytrees()
+    kwargs = dict(example_kwargs or {})
+
+    def infer(*args):
+        return model.apply(params, *args, train=False, **kwargs)
+
+    fn = jax.jit(infer)
+    exp = jax_export.export(fn, platforms=platforms)(*example_args)
+    blob = exp.serialize()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(blob)
+    os.replace(tmp, path)  # atomic, like every artifact write in this repo
+
+
+def load_inference(path: str):
+    """Load an exported inference function; returns a callable with the
+    exported signature. Works without the model code or its params."""
+    from jax import export as jax_export
+
+    _register_pytrees()
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not a gaot3d_tpu export (bad magic)")
+        blob = f.read()
+    exported = jax_export.deserialize(blob)
+    return exported.call

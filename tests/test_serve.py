@@ -1,0 +1,106 @@
+"""Serving export roundtrip: serialize the compiled eval forward, reload it
+WITHOUT the model object, and match the in-process predictions."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaot3d_tpu.models import (
+    AttentionConfig,
+    FFNConfig,
+    MAGNOConfig,
+    TransformerConfig,
+    init_model,
+)
+from gaot3d_tpu.serve import export_inference, load_inference
+
+
+def _tiny():
+    magno = MAGNOConfig(
+        lifting_channels=8, use_geoembed=[True, False], gno_radius=0.45,
+        neighbor_strategy="bidirectional",
+        in_gno_channel_mlp_hidden_layers=[16],
+        out_gno_channel_mlp_hidden_layers=[16], projection_channels=16,
+    )
+    attn = TransformerConfig(
+        patch_size=2, hidden_size=32, num_layers=2, positional_embedding="absolute",
+        attn_config=AttentionConfig(hidden_size=32, num_heads=4, num_kv_heads=2,
+                                    atten_dropout=0.0),
+        ffn_config=FFNConfig(hidden_size=64),
+    )
+    return init_model(2, 1, "gaot_3d", magno, attn, latent_tokens=(4, 4, 4))
+
+
+def test_export_roundtrip(tmp_path):
+    model = _tiny()
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+    # jit the reference side too: eager CPU execution skips the FMA/fusion
+    # contractions the compiled (and exported) path performs
+    jit_apply = jax.jit(lambda *a: model.apply(params, *a, train=False))
+    want = jit_apply(pos, feats, mask)
+
+    path = os.path.join(tmp_path, "model.gaotx")
+    export_inference(model, params, (pos, feats, mask), path)
+    assert os.path.exists(path)
+
+    infer = load_inference(path)
+    got = infer(pos, feats, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # fresh inputs exercise the function, not a cached constant
+    pos2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats2 = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    want2 = jit_apply(pos2, feats2, mask)
+    got2 = infer(pos2, feats2, mask)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-6)
+
+
+def test_export_with_precomputed_flat_edges(tmp_path):
+    """Precomputed-graph serving: the flat edge structures ride as call-time
+    pytree args (not baked), so one export serves many meshes of the padded
+    shape."""
+    from gaot3d_tpu.ops import (
+        LatentGrid,
+        build_edge_slots_batched,
+        flatten_slots_host_batched,
+    )
+
+    model = _tiny()
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), 16, pad_multiple=8
+    )
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+
+    class Wrapper:
+        def apply(self, p, pos, feats, mask, enc, dec, train=False):
+            return model.apply(p, pos, feats, mask, train=train,
+                               encoder_slots=[enc], decoder_slots=[dec])
+
+    want = jax.jit(
+        lambda p, f, m, e, d: model.apply(params, p, f, m, train=False,
+                                          encoder_slots=[e], decoder_slots=[d])
+    )(pos, feats, mask, flat, flat)
+    path = os.path.join(tmp_path, "model_flat.gaotx")
+    export_inference(Wrapper(), params, (pos, feats, mask, flat, flat), path)
+    got = load_inference(path)(pos, feats, mask, flat, flat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_load_rejects_non_export(tmp_path):
+    p = os.path.join(tmp_path, "junk.gaotx")
+    with open(p, "wb") as f:
+        f.write(b"not an export")
+    with pytest.raises(ValueError, match="bad magic"):
+        load_inference(p)
