@@ -98,6 +98,28 @@ def test_export_with_precomputed_flat_edges(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_cross_lowering_for_tpu(tmp_path):
+    """Exports can target TPU from a CPU build host (`platforms=['tpu']`):
+    lowering needs no TPU backend, only the serialized artifact records the
+    platform (the deployment story in docs/MIGRATING.md)."""
+    from jax import export as jax_export
+
+    model = _tiny()
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+    path = os.path.join(tmp_path, "model_tpu.gaotx")
+    export_inference(model, params, (pos, feats, mask), path, platforms=["tpu"])
+    from gaot3d_tpu.serve import MAGIC
+
+    with open(path, "rb") as f:
+        f.read(len(MAGIC))
+        exp = jax_export.deserialize(f.read())
+    assert exp.platforms == ("tpu",)
+
+
 def test_load_rejects_non_export(tmp_path):
     p = os.path.join(tmp_path, "junk.gaotx")
     with open(p, "wb") as f:
