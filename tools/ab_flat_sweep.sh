@@ -17,13 +17,14 @@ run() {
     "/tmp/ab_${name}.log" | tr '\n' ' ')"
 }
 
-run baseline_slots
-run flat_src BENCH_EDGE_LAYOUT=flat
-run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
-
-# warm the exact driver configuration (defaults, eval on, wall timing) so
-# BENCH_r{N} hits the compilation cache
+# FIRST: the exact driver configuration (defaults, eval on, wall timing) —
+# the single most important run if the tunnel window is short: it proves
+# BENCH_r{N} reproducibility at HEAD and warms the compilation cache
 echo "=== driver_default ($(date +%H:%M:%S)) ==="
 timeout 3600 python bench.py > /tmp/ab_driver_default.log 2>&1
 echo "rc=$? $(tail -1 /tmp/ab_driver_default.log | head -c 300)"
+
+run baseline_slots
+run flat_src BENCH_EDGE_LAYOUT=flat
+run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
 echo "=== done ==="
