@@ -49,101 +49,20 @@ from gaot3d_tpu.ops.grid_graph import EdgeSlots, LatentGrid, build_edge_slots  #
 # ---------------------------------------------------------------------------
 
 
-def t2j(x):
-    return jnp.asarray(x.detach().cpu().numpy())
-
-
-def _mlp_weight(sd, name):
-    """torch Linear [out,in] or Conv1d [out,in,1] -> flax kernel [in,out]."""
-    w = sd[name + ".weight"]
-    if w.ndim == 3:
-        w = w.squeeze(-1)
-    return t2j(w).T
-
-
-def dense(sd, name, bias=True):
-    p = {"kernel": _mlp_weight(sd, name)}
-    if bias:
-        p["bias"] = t2j(sd[name + ".bias"])
-    return p
-
-
-def torchlinear(sd, name, bias=True):
-    return {"Dense_0": dense(sd, name, bias)}
-
-
-def it_params(sd, prefix, n_fcs, dot_attn=False):
-    p = {}
-    for i in range(n_fcs):
-        p[f"kernel_w{i}"] = _mlp_weight(sd, f"{prefix}.channel_mlp.fcs.{i}")
-        p[f"kernel_b{i}"] = t2j(sd[f"{prefix}.channel_mlp.fcs.{i}.bias"])
-    if dot_attn:
-        p["q_w"] = _mlp_weight(sd, f"{prefix}.query_proj")
-        p["q_b"] = t2j(sd[f"{prefix}.query_proj.bias"])
-        p["k_w"] = _mlp_weight(sd, f"{prefix}.key_proj")
-        p["k_b"] = t2j(sd[f"{prefix}.key_proj.bias"])
-    return p
-
-
-def geo_params(sd, prefix, method):
-    if method == "statistical":
-        return {
-            "mlp_w0": _mlp_weight(sd, f"{prefix}.mlp.0"),
-            "mlp_b0": t2j(sd[f"{prefix}.mlp.0.bias"]),
-            "mlp_w1": _mlp_weight(sd, f"{prefix}.mlp.2"),
-            "mlp_b1": t2j(sd[f"{prefix}.mlp.2.bias"]),
-        }
-    return {
-        "pn_w0": _mlp_weight(sd, f"{prefix}.pointnet_mlp.0"),
-        "pn_b0": t2j(sd[f"{prefix}.pointnet_mlp.0.bias"]),
-        "pn_w1": _mlp_weight(sd, f"{prefix}.pointnet_mlp.2"),
-        "pn_b1": t2j(sd[f"{prefix}.pointnet_mlp.2.bias"]),
-        "fc_w": _mlp_weight(sd, f"{prefix}.fc.0"),
-        "fc_b": t2j(sd[f"{prefix}.fc.0.bias"]),
-    }
-
-
-def block_params(sd, prefix, skip=False):
-    p = {
-        "RMSNorm_0": {"weight": t2j(sd[f"{prefix}.attn_norm.weight"])},
-        "RMSNorm_1": {"weight": t2j(sd[f"{prefix}.ffn_norm.weight"])},
-        "GroupQueryAttention_0": {
-            "TorchLinear_0": torchlinear(sd, f"{prefix}.attn.q_proj", bias=False),
-            "TorchLinear_1": torchlinear(sd, f"{prefix}.attn.k_proj", bias=False),
-            "TorchLinear_2": torchlinear(sd, f"{prefix}.attn.v_proj", bias=False),
-            "TorchLinear_3": torchlinear(sd, f"{prefix}.attn.o_proj", bias=False),
-        },
-        "FFN_0": {
-            "TorchLinear_0": torchlinear(sd, f"{prefix}.ffn.w1", bias=False),
-            "TorchLinear_1": torchlinear(sd, f"{prefix}.ffn.w3", bias=False),
-            "TorchLinear_2": torchlinear(sd, f"{prefix}.ffn.w2", bias=False),
-        },
-    }
-    if skip:
-        p["TorchLinear_0"] = torchlinear(sd, f"{prefix}.skip_proj")
-    return p
-
-
-def processor_params(sd, num_layers):
-    n_enc = num_layers // 2
-    has_mid = num_layers % 2 == 1
-    p = {
-        "TorchLinear_0": torchlinear(sd, "processor.input_proj"),
-        "TorchLinear_1": torchlinear(sd, "processor.output_proj"),
-    }
-    bi = 0
-    for i in range(n_enc):
-        p[f"TransformerBlock_{bi}"] = block_params(sd, f"processor.encoder_layers.{i}")
-        bi += 1
-    if has_mid:
-        p[f"TransformerBlock_{bi}"] = block_params(sd, "processor.middle_layer")
-        bi += 1
-    for i in range(n_enc):
-        p[f"TransformerBlock_{bi}"] = block_params(
-            sd, f"processor.decoder_layers.{i}", skip=True
-        )
-        bi += 1
-    return p
+# the reference->flax weight mapping is LIBRARY code (the user-facing
+# checkpoint importer, gaot3d_tpu/torch_import.py); these parity tests are
+# its behavioral validation against the actual torch reference
+from gaot3d_tpu.torch_import import (  # noqa: E402
+    _mlp_weight,
+    block_params,
+    dense,
+    gaot_params_from_ref as _lib_gaot_params_from_ref,
+    geo_params,
+    it_params,
+    processor_params,
+    t2j,
+    torchlinear,
+)
 
 
 def slots_to_edge_index(slots: EdgeSlots, direction: str) -> "torch.Tensor":
@@ -414,46 +333,8 @@ def make_our_configs(pos_emb="rope", use_geoembed=True, scales=(1.0,),
     return magno, attn
 
 
-def gaot_params_from_ref(sd, num_layers, use_geoembed=True, n_scales=1,
-                         use_scale_weights=False, dot_attn=False,
-                         n_enc_fcs=3, n_dec_fcs=2):
-    enc = {
-        "TorchLinear_0": torchlinear(sd, "encoder.lifting.fcs.0"),
-        "IntegralTransform_0": it_params(sd, "encoder.gno", n_enc_fcs, dot_attn),
-    }
-    if use_geoembed:
-        enc["GeometricEmbedding_0"] = geo_params(sd, "encoder.geoembed", "statistical")
-        enc["TorchLinear_1"] = torchlinear(sd, "encoder.recovery.fcs.0")
-    if use_scale_weights:
-        # creation order quirk: the OUTER Linear(16->S) is constructed before
-        # the inner Linear(3->16) (callee evaluated before its argument)
-        enc["TorchLinear_2"] = torchlinear(sd, "encoder.scale_weighting.2")
-        enc["TorchLinear_3"] = torchlinear(sd, "encoder.scale_weighting.0")
-    dec = {
-        "IntegralTransform_0": it_params(sd, "decoder.gno", n_dec_fcs, dot_attn),
-    }
-    nxt = 0
-    if use_geoembed:
-        dec["GeometricEmbedding_0"] = geo_params(sd, "decoder.geoembed", "statistical")
-        dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.recovery.fcs.0")
-        nxt += 1
-    if use_scale_weights:
-        # scale weighting runs before projection in the decoder; outer Linear
-        # constructed before inner (callee evaluated before its argument)
-        dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.scale_weighting.2")
-        dec[f"TorchLinear_{nxt+1}"] = torchlinear(sd, "decoder.scale_weighting.0")
-        nxt += 2
-    dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.projection.fcs.0")
-    dec[f"TorchLinear_{nxt+1}"] = torchlinear(sd, "decoder.projection.fcs.1")
-    return {
-        "params": {
-            "encoder": enc,
-            "patch_linear": torchlinear(sd, "patch_linear"),
-            "processor": processor_params(sd, num_layers),
-            "decoder": dec,
-        }
-    }
-
+# gaot_params_from_ref comes from the library (imported above)
+gaot_params_from_ref = _lib_gaot_params_from_ref
 
 def run_both_full_models(pos_emb, use_geoembed=True, scales=(1.0,),
                          use_scale_weights=False, transform="linear",
@@ -782,3 +663,66 @@ def test_adamw_20step_mix_schedule_trajectory_parity():
     np.testing.assert_allclose(j_losses, t_losses, rtol=5e-3)
     # and training actually progressed
     assert j_losses[-1] < j_losses[0]
+
+
+def test_checkpoint_import_tool(tmp_path):
+    """End-to-end checkpoint migration: a reference-style `{name:
+    state_dict}` torch save converts via tools/import_torch_ckpt's machinery
+    (params_from_torch_state_dict + msgpack) into a file the trainer's
+    params loader consumes, and the imported model reproduces the reference
+    forward — including the fused-path renames the high-level entry applies
+    from the config's own gating."""
+    import os
+    import sys
+
+    from flax import serialization
+
+    from gaot3d_tpu.torch_import import params_from_torch_state_dict
+    from gaot3d_tpu.train.checkpoint import load_params_only
+
+    cin, cout, n = 2, 1, 300
+    pos, feats = make_cloud(n, seed=11, cin=cin)
+    r_magno, r_attn = make_ref_configs("absolute")
+    ref = ref_gaot.GAOT3D(cin, cout, r_magno, r_attn, latent_tokens=(4, 4, 4)).eval()
+    pt_path = os.path.join(tmp_path, "ref.pt")
+    torch.save({"model": ref.state_dict()}, pt_path)  # reference setup.py:18-42
+
+    # target config: FUSED paths on (the import applies the renames itself)
+    o_magno, o_attn = make_our_configs("absolute")
+    o_magno.fused_encoder = True
+    o_magno.fused_decoder = True
+    ours = init_model(cin, cout, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
+    from import_torch_ckpt import extract_state_dict
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=True)
+    params = params_from_torch_state_dict(extract_state_dict(ckpt), o_magno, o_attn)
+    out_path = os.path.join(tmp_path, "imported.msgpack")
+    host = jax.tree.map(np.asarray, params)
+    # framework ckpt layout: {"params": <full variables dict>} (the trainer's
+    # TrainState.params IS the variables dict)
+    with open(out_path, "wb") as f:
+        f.write(serialization.msgpack_serialize({"params": host}))
+
+    # the trainer-side loader consumes it against a fresh template
+    slots = build_slots(pos)
+    eslots = [EdgeSlots(slots.lat_idx[None], slots.mask[None])]
+    template = ours.init({"params": jax.random.key(0)}, jnp.asarray(pos)[None],
+                         jnp.asarray(feats)[None], jnp.ones((1, n), bool),
+                         encoder_slots=eslots, decoder_slots=eslots)
+    loaded = load_params_only(out_path, template)
+
+    batch = RefBatch(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+        encoder_edge_index_s0=slots_to_edge_index(slots, "encoder"),
+        decoder_edge_index_s0=slots_to_edge_index(slots, "decoder"),
+    )
+    with torch.no_grad():
+        ref_out = ref(batch)
+    our_out = ours.apply(loaded, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+                         jnp.ones((1, n), bool),
+                         encoder_slots=eslots, decoder_slots=eslots)[0]
+    np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-4)
