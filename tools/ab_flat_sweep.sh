@@ -27,4 +27,8 @@ echo "rc=$? $(tail -1 /tmp/ab_driver_default.log | head -c 300)"
 run baseline_slots
 run flat_src BENCH_EDGE_LAYOUT=flat
 run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
+# flat packs ~2.4 edges/node vs 8 slots/node, so the per-chunk edge-row count
+# at chunk 64K is ~2.3x smaller than slotted; the chunk optimum may shift up
+run flat_src_128k BENCH_EDGE_LAYOUT=flat BENCH_CHUNK=131072
+run flat_dst_128k BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst BENCH_CHUNK=131072
 echo "=== done ==="
