@@ -23,14 +23,16 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 
 def t2j(x):
+    # host-side numpy, NOT jnp: the import pipeline ends in msgpack (tools/
+    # import_torch_ckpt.py) or flax from_state_dict — materializing device
+    # arrays here would copy every tensor twice
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return jnp.asarray(np.asarray(x))
+    return np.asarray(x)
 
 
 def _mlp_weight(sd, name):
@@ -83,10 +85,22 @@ def geo_params(sd, prefix, method):
     }
 
 
-def block_params(sd, prefix, skip=False):
-    p = {
-        "RMSNorm_0": {"weight": t2j(sd[f"{prefix}.attn_norm.weight"])},
-        "RMSNorm_1": {"weight": t2j(sd[f"{prefix}.ffn_norm.weight"])},
+def block_params(sd, prefix, skip=False, use_attn_norm=True, use_ffn_norm=True):
+    """One TransformerBlock. Flax RMSNorm auto-numbering shifts with the norm
+    flags (models/transformer.py:203,219: each norm is constructed only when
+    its flag is on). `skip` must be use_long_range_skip: the reference CREATES
+    skip_proj on every decoder block but APPLIES it only when a skip tensor is
+    passed (attn.py:203-205,222-224), and the flax block only constructs the
+    TorchLinear in that case — with skips off, the reference's skip_proj
+    params are dead weight and are deliberately dropped here."""
+    p = {}
+    ni = 0
+    if use_attn_norm:
+        p[f"RMSNorm_{ni}"] = {"weight": t2j(sd[f"{prefix}.attn_norm.weight"])}
+        ni += 1
+    if use_ffn_norm:
+        p[f"RMSNorm_{ni}"] = {"weight": t2j(sd[f"{prefix}.ffn_norm.weight"])}
+    p.update({
         "GroupQueryAttention_0": {
             "TorchLinear_0": torchlinear(sd, f"{prefix}.attn.q_proj", bias=False),
             "TorchLinear_1": torchlinear(sd, f"{prefix}.attn.k_proj", bias=False),
@@ -98,60 +112,89 @@ def block_params(sd, prefix, skip=False):
             "TorchLinear_1": torchlinear(sd, f"{prefix}.ffn.w3", bias=False),
             "TorchLinear_2": torchlinear(sd, f"{prefix}.ffn.w2", bias=False),
         },
-    }
+    })
     if skip:
         p["TorchLinear_0"] = torchlinear(sd, f"{prefix}.skip_proj")
     return p
 
 
-def processor_params(sd, num_layers):
+def processor_params(sd, num_layers, use_attn_norm=True, use_ffn_norm=True,
+                     use_long_range_skip=True):
+    """input_proj/output_proj are nn.Identity (NO params) when the size
+    already matches hidden (reference attn.py:257-265) — exactly the flagship
+    DrivAerNet/DrivAerML recipes (patch 2^3 x lifting 32 = hidden 256). The
+    flax UViTProcessor skips the TorchLinears under the same size rule
+    (models/transformer.py), so key presence in the state dict is the correct
+    and self-consistent gate on both ends."""
     n_enc = num_layers // 2
     has_mid = num_layers % 2 == 1
-    p = {
-        "TorchLinear_0": torchlinear(sd, "processor.input_proj"),
-        "TorchLinear_1": torchlinear(sd, "processor.output_proj"),
-    }
+    norms = dict(use_attn_norm=use_attn_norm, use_ffn_norm=use_ffn_norm)
+    p = {}
+    tl = 0
+    if "processor.input_proj.weight" in sd:
+        p[f"TorchLinear_{tl}"] = torchlinear(sd, "processor.input_proj")
+        tl += 1
     bi = 0
     for i in range(n_enc):
-        p[f"TransformerBlock_{bi}"] = block_params(sd, f"processor.encoder_layers.{i}")
+        p[f"TransformerBlock_{bi}"] = block_params(
+            sd, f"processor.encoder_layers.{i}", **norms)
         bi += 1
     if has_mid:
-        p[f"TransformerBlock_{bi}"] = block_params(sd, "processor.middle_layer")
+        p[f"TransformerBlock_{bi}"] = block_params(
+            sd, "processor.middle_layer", **norms)
         bi += 1
     for i in range(n_enc):
         p[f"TransformerBlock_{bi}"] = block_params(
-            sd, f"processor.decoder_layers.{i}", skip=True
-        )
+            sd, f"processor.decoder_layers.{i}", skip=use_long_range_skip,
+            **norms)
         bi += 1
+    if "processor.output_proj.weight" in sd:
+        p[f"TorchLinear_{tl}"] = torchlinear(sd, "processor.output_proj")
     return p
 
 
-def gaot_params_from_ref(sd, num_layers, use_geoembed=True, n_scales=1,
+def gaot_params_from_ref(sd, num_layers, use_geoembed=True,
                          use_scale_weights=False, dot_attn=False,
-                         n_enc_fcs=3, n_dec_fcs=2, enc_geo=None, dec_geo=None):
+                         n_enc_fcs=3, n_dec_fcs=2, enc_geo=None, dec_geo=None,
+                         use_gno=True, embedding_method="statistical",
+                         use_attn_norm=True, use_ffn_norm=True,
+                         use_long_range_skip=True):
     """Reference state dict -> MODULAR flax param tree (fused renames are a
     separate step, `rename_for_fused_paths`). enc_geo/dec_geo default to
-    use_geoembed (the scalar-or-pair polymorphism)."""
+    use_geoembed (the scalar-or-pair polymorphism).
+
+    Optional modules follow the flax models' own construction gating (which
+    mirrors the reference's): flax auto-names count per TYPE in construction
+    order, so every absent module shifts the later TorchLinear_i indices —
+    hence the running counters instead of fixed names. One deliberate drop:
+    the reference CREATES encoder.recovery whenever geoembed is on but only
+    APPLIES it when use_gno too (reference magno.py:437-456 vs 570-581); the
+    flax encoder constructs it only in the applied case, so with use_gno off
+    the reference's recovery params are dead weight and are not mapped."""
     enc_geo = use_geoembed if enc_geo is None else enc_geo
     dec_geo = use_geoembed if dec_geo is None else dec_geo
-    enc = {
-        "TorchLinear_0": torchlinear(sd, "encoder.lifting.fcs.0"),
-        "IntegralTransform_0": it_params(sd, "encoder.gno", n_enc_fcs, dot_attn),
-    }
+    enc = {}
+    tl = 0
+    if use_gno:
+        enc[f"TorchLinear_{tl}"] = torchlinear(sd, "encoder.lifting.fcs.0")
+        tl += 1
+        enc["IntegralTransform_0"] = it_params(sd, "encoder.gno", n_enc_fcs, dot_attn)
     if enc_geo:
-        enc["GeometricEmbedding_0"] = geo_params(sd, "encoder.geoembed", "statistical")
-        enc["TorchLinear_1"] = torchlinear(sd, "encoder.recovery.fcs.0")
+        enc["GeometricEmbedding_0"] = geo_params(sd, "encoder.geoembed", embedding_method)
+        if use_gno:
+            enc[f"TorchLinear_{tl}"] = torchlinear(sd, "encoder.recovery.fcs.0")
+            tl += 1
     if use_scale_weights:
         # creation order quirk: the OUTER Linear(16->S) is constructed before
         # the inner Linear(3->16) (callee evaluated before its argument)
-        enc["TorchLinear_2"] = torchlinear(sd, "encoder.scale_weighting.2")
-        enc["TorchLinear_3"] = torchlinear(sd, "encoder.scale_weighting.0")
+        enc[f"TorchLinear_{tl}"] = torchlinear(sd, "encoder.scale_weighting.2")
+        enc[f"TorchLinear_{tl + 1}"] = torchlinear(sd, "encoder.scale_weighting.0")
     dec = {
         "IntegralTransform_0": it_params(sd, "decoder.gno", n_dec_fcs, dot_attn),
     }
     nxt = 0
     if dec_geo:
-        dec["GeometricEmbedding_0"] = geo_params(sd, "decoder.geoembed", "statistical")
+        dec["GeometricEmbedding_0"] = geo_params(sd, "decoder.geoembed", embedding_method)
         dec[f"TorchLinear_{nxt}"] = torchlinear(sd, "decoder.recovery.fcs.0")
         nxt += 1
     if use_scale_weights:
@@ -166,7 +209,10 @@ def gaot_params_from_ref(sd, num_layers, use_geoembed=True, n_scales=1,
         "params": {
             "encoder": enc,
             "patch_linear": torchlinear(sd, "patch_linear"),
-            "processor": processor_params(sd, num_layers),
+            "processor": processor_params(
+                sd, num_layers, use_attn_norm=use_attn_norm,
+                use_ffn_norm=use_ffn_norm,
+                use_long_range_skip=use_long_range_skip),
             "decoder": dec,
         }
     }
@@ -213,11 +259,15 @@ def params_from_torch_state_dict(sd: Dict[str, Any], magno_cfg, attn_cfg) -> dic
     jparams = gaot_params_from_ref(
         sd, attn_cfg.num_layers,
         use_geoembed=enc_geo or dec_geo,
-        n_scales=len(magno_cfg.scales),
         use_scale_weights=bool(magno_cfg.use_scale_weights) and len(magno_cfg.scales) > 1,
         dot_attn=dot,
         n_enc_fcs=n_enc_fcs, n_dec_fcs=n_dec_fcs,
         enc_geo=enc_geo, dec_geo=dec_geo,
+        use_gno=bool(magno_cfg.use_gno),
+        embedding_method=magno_cfg.embedding_method,
+        use_attn_norm=bool(attn_cfg.use_attn_norm),
+        use_ffn_norm=bool(attn_cfg.use_ffn_norm),
+        use_long_range_skip=bool(attn_cfg.use_long_range_skip),
     )
     statistical = magno_cfg.embedding_method == "statistical"
     fuse_enc = (magno_cfg.fused_encoder and enc_geo and statistical

@@ -355,7 +355,7 @@ def run_both_full_models(pos_emb, use_geoembed=True, scales=(1.0,),
     n_enc_fcs = len(r_magno.in_gno_channel_mlp_hidden_layers) + 1
     n_dec_fcs = len(r_magno.out_gno_channel_mlp_hidden_layers) + 1
     params = gaot_params_from_ref(
-        sd, 3, use_geoembed, len(scales), use_scale_weights,
+        sd, 3, use_geoembed, use_scale_weights=use_scale_weights,
         dot_attn=use_attn and attention_type == "dot_product",
         n_enc_fcs=n_enc_fcs, n_dec_fcs=n_dec_fcs,
     )
@@ -726,3 +726,80 @@ def test_checkpoint_import_tool(tmp_path):
                          encoder_slots=eslots, decoder_slots=eslots)[0]
     np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# optional-module gating variants: every reference module that may NOT exist
+# (Identity projections, disabled norms/skips, no-gno encoder, pointnet
+# geoembed) shifts the flax auto-naming — the importer must mirror the
+# models' own construction gating (torch_import.py review findings, fixed)
+# ---------------------------------------------------------------------------
+
+
+def _run_import_variant(hidden=None, use_attn_norm=True, use_ffn_norm=True,
+                        use_long_range_skip=True, use_gno=True,
+                        use_geoembed=True, embedding_method="statistical",
+                        n=300, seed=13):
+    """Build a reference model for a config variant, import its state dict
+    via the high-level config-driven entry, and assert forward parity."""
+    from gaot3d_tpu.torch_import import params_from_torch_state_dict
+
+    cin, cout = 2, 1
+    pos, feats = make_cloud(n, seed=seed, cin=cin)
+    r_magno, r_attn = make_ref_configs("absolute", use_geoembed=use_geoembed)
+    o_magno, o_attn = make_our_configs("absolute", use_geoembed=use_geoembed)
+    for m in (r_magno, o_magno):
+        m.use_gno = use_gno
+        m.embedding_method = embedding_method
+    for a in (r_attn, o_attn):
+        if hidden is not None:
+            a.hidden_size = hidden
+            a.attn_config.hidden_size = hidden
+        a.use_attn_norm = use_attn_norm
+        a.use_ffn_norm = use_ffn_norm
+        a.use_long_range_skip = use_long_range_skip
+
+    ref = ref_gaot.GAOT3D(cin, cout, r_magno, r_attn, latent_tokens=(4, 4, 4)).eval()
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    ours = init_model(cin, cout, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+    params = params_from_torch_state_dict(sd, o_magno, o_attn)
+
+    slots = build_slots(pos)
+    eslots = [EdgeSlots(slots.lat_idx[None], slots.mask[None])]
+    batch = RefBatch(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+        encoder_edge_index_s0=slots_to_edge_index(slots, "encoder"),
+        decoder_edge_index_s0=slots_to_edge_index(slots, "decoder"),
+    )
+    with torch.no_grad():
+        ref_out = ref(batch)
+    our_out = ours.apply(params, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+                         jnp.ones((1, n), bool),
+                         encoder_slots=eslots, decoder_slots=eslots)[0]
+    np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_import_identity_projections():
+    # the FLAGSHIP shape class: processor input = patch 2^3 x lifting 8 = 64;
+    # hidden 64 makes the reference's input_proj/output_proj nn.Identity
+    # (attn.py:257-265) so the state dict has no keys for them
+    _run_import_variant(hidden=64)
+
+
+def test_import_no_norms_no_skip():
+    # disabled norms shift RMSNorm numbering; with skips off the reference
+    # still CREATES skip_proj (dead params) that must not be mapped
+    _run_import_variant(use_attn_norm=False, use_long_range_skip=False)
+
+
+def test_import_no_gno_encoder():
+    # geoembed-only encoder: no lifting/gno keys, and the reference's dead
+    # encoder.recovery params (created but never applied) must be dropped
+    _run_import_variant(use_gno=False)
+
+
+def test_import_pointnet_geoembed():
+    # embedding_method must flow through to the geoembed key layout
+    _run_import_variant(embedding_method="pointnet")

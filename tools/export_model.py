@@ -2,7 +2,7 @@
 
 Usage:
     python tools/export_model.py --config run.yaml --ckpt model.msgpack \
-        --output model.gaotx [--nodes 524288] [--batch 1] [--platforms tpu]
+        --output model.gaotx --nodes 524288 [--batch 1] [--platforms tpu]
 
 Builds the model from the run config, loads the checkpoint's params, and
 serializes the compiled eval forward (gaot3d_tpu.serve.export_inference) at
@@ -23,13 +23,21 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", required=True, help="msgpack checkpoint path")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--nodes", type=int, default=None,
-                    help="padded node count (default: dataset.pad_multiple)")
+    ap.add_argument("--nodes", type=int, required=True,
+                    help="padded node count the artifact serves — must equal "
+                         "the deployment batches' padded size (a sample's "
+                         "node count rounded up to dataset.pad_multiple), "
+                         "e.g. 524288 for ~500K-node DrivAerNet samples with "
+                         "pad_multiple 65536; the exported function is "
+                         "static-shaped")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. tpu (default: current)")
-    ap.add_argument("--device", default=None,
-                    help="jax backend for tracing (e.g. cpu)")
+    ap.add_argument("--device", default="cpu",
+                    help="jax backend for TRACING (export is a host-side "
+                         "trace/serialize job; cpu avoids grabbing — or "
+                         "hanging on — the TPU tunnel, and --platforms tpu "
+                         "still cross-lowers for TPU serving)")
     ap.add_argument("--in-channels", type=int, default=1,
                     help="encoder input feature width (the trainer infers "
                          "this from data; the export tool needs it explicit)")
@@ -50,7 +58,7 @@ def main():
 
     cfg = load_run_config(args.config)
     margs = cfg.model.args
-    N = args.nodes or cfg.dataset.pad_multiple
+    N = args.nodes
     B = args.batch
 
     cin, cout = args.in_channels, args.out_channels

@@ -18,17 +18,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _is_state_dict(d):
+    # a real module state dict is a non-empty {dotted.name: tensor} mapping;
+    # the dotted-key requirement rejects look-alikes such as {'epoch': tensor}
+    return (isinstance(d, dict) and len(d) > 0
+            and all(hasattr(v, "shape") for v in d.values())
+            and any("." in k for k in d))
+
+
 def extract_state_dict(ckpt):
     """Reference ckpts are `{name: module.state_dict()}` (setup.py:18-42);
     tolerate a bare state dict too."""
-    if all(hasattr(v, "shape") for v in ckpt.values()):
+    if not isinstance(ckpt, dict) or not ckpt:
+        raise ValueError(f"checkpoint is not a non-empty dict: {type(ckpt)}")
+    if _is_state_dict(ckpt):
         return ckpt
+    for key in ("model", "gaot_3d", "state_dict"):
+        if key in ckpt and _is_state_dict(ckpt[key]):
+            return ckpt[key]
     if len(ckpt) == 1:
         (inner,) = ckpt.values()
-        return inner
-    for key in ("model", "gaot_3d", "state_dict"):
-        if key in ckpt:
-            return ckpt[key]
+        if _is_state_dict(inner):
+            return inner
     raise ValueError(f"cannot locate a state dict among keys {list(ckpt)}")
 
 
