@@ -37,6 +37,11 @@ class SetUpConfig:
     train: bool = True
     test: bool = False
     ckpt: bool = False
+    # accepted for reference-YAML drop-in compat and deliberately inert — the
+    # reference never consumes it either: default_set.py:26 is a TODO and
+    # base.py:413 variance_test() is an abstract stub nothing calls, yet the
+    # shipped config/examples/drivaernet/pressure.yaml sets the key
+    use_variance_test: bool = False
     # distributed (JAX): data-parallel across local devices by default.
     # world_size/rank drive the multi-host bootstrap (jax.distributed.initialize,
     # the analogue of the reference's RANK/WORLD_SIZE env dance base.py:87-131);
@@ -60,6 +65,9 @@ class SetUpConfig:
     wandb_notes: Optional[str] = None
     wandb_tags: List[str] = field(default_factory=list)
     wandb_watch_model: bool = False
+    # schema-parity field, inert here exactly as in the reference (declared at
+    # default_set.py:44, never read anywhere; wandb rows go out per eval epoch)
+    wandb_log_interval: int = 1
     resume_from_artifact: Optional[str] = None
     resume_from_ckpt: Optional[str] = None
     test_during_training: bool = False
@@ -69,6 +77,14 @@ class SetUpConfig:
     profile_dir: Optional[str] = None
     profile_epoch: int = 1
     profile_steps: int = 3
+
+    def __post_init__(self):
+        # reference YAMLs write torch dtype strings ("torch.float32",
+        # default_set.py:21 + the shipped pressure.yaml) — normalize to the
+        # plain names the trainer consumes. float64 maps to float32: TPUs have
+        # no f64 datapath and the reference only ever runs float32 in practice.
+        d = self.dtype.removeprefix("torch.")
+        self.dtype = "float32" if d == "float64" else d
 
 
 @dataclass

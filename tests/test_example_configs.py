@@ -10,6 +10,9 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "examples", "*", "*.yaml")))
+REFERENCE_CONFIGS = sorted(
+    glob.glob("/root/reference/config/**/*.yaml", recursive=True)
+)
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.relpath(p, REPO) for p in CONFIGS])
@@ -40,3 +43,22 @@ def test_example_config_parses_and_builds(path):
     out = model.apply(params, pos, feats, mask)
     assert out.shape == (1, 64, 1)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.skipif(not REFERENCE_CONFIGS, reason="reference checkout absent")
+@pytest.mark.parametrize(
+    "path", REFERENCE_CONFIGS, ids=[os.path.basename(p) for p in REFERENCE_CONFIGS]
+)
+def test_reference_config_drops_in_verbatim(path):
+    """The drop-in promise, tested against the reference's OWN shipped YAML
+    (not our copies): every key it writes parses, including the schema-only
+    knobs the reference itself never consumes (use_variance_test,
+    default_set.py:26; wandb_log_interval, default_set.py:44) and torch-style
+    dtype strings (setup.dtype: "torch.float32")."""
+    from gaot3d_tpu.config import load_run_config
+
+    cfg = load_run_config(path)
+    assert cfg.setup.dtype in ("float32", "bfloat16")  # torch. prefix stripped
+    assert cfg.model.name == "gaot_3d"
+    assert cfg.model.args.transformer.num_layers >= 1
+    assert cfg.optimizer.args.lr > 0
