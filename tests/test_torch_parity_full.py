@@ -803,3 +803,109 @@ def test_import_no_gno_encoder():
 def test_import_pointnet_geoembed():
     # embedding_method must flow through to the geoembed key layout
     _run_import_variant(embedding_method="pointnet")
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: EXPORT our params to a reference state dict
+# (gaot3d_tpu/torch_export.py) and assert the torch reference reproduces our
+# forward — bidirectional checkpoint migration
+# ---------------------------------------------------------------------------
+
+
+def _run_export_variant(hidden=None, fused=False, use_scale_weights=False,
+                        scales=(1.0,), n=300, seed=23):
+    from gaot3d_tpu.torch_export import state_dict_from_params
+
+    cin, cout = 2, 1
+    pos, feats = make_cloud(n, seed=seed, cin=cin)
+    r_magno, r_attn = make_ref_configs("absolute", scales=scales,
+                                       use_scale_weights=use_scale_weights)
+    o_magno, o_attn = make_our_configs("absolute", scales=scales,
+                                       use_scale_weights=use_scale_weights)
+    # export emits the torch layout magno_cfg.mlp_type selects; the reference
+    # helper builds LinearChannelMLP modules (make_ref_configs mlp_type="linear")
+    o_magno.mlp_type = "linear"
+    if fused:
+        o_magno.fused_encoder = True
+        o_magno.fused_decoder = True
+    for a in (r_attn, o_attn):
+        if hidden is not None:
+            a.hidden_size = hidden
+            a.attn_config.hidden_size = hidden
+
+    ours = init_model(cin, cout, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+    batch_kw = dict(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+    )
+    eslots = []
+    for si, s in enumerate(scales):
+        slots = build_slots(pos, radius=RADIUS * s)
+        eslots.append(EdgeSlots(slots.lat_idx[None], slots.mask[None]))
+        batch_kw[f"encoder_edge_index_s{si}"] = slots_to_edge_index(slots, "encoder")
+        batch_kw[f"decoder_edge_index_s{si}"] = slots_to_edge_index(slots, "decoder")
+    params = ours.init({"params": jax.random.key(3)}, jnp.asarray(pos)[None],
+                       jnp.asarray(feats)[None], jnp.ones((1, n), bool),
+                       encoder_slots=eslots, decoder_slots=eslots)
+
+    sd = state_dict_from_params(params, o_magno, o_attn, latent_tokens=(4, 4, 4))
+    ref = ref_gaot.GAOT3D(cin, cout, r_magno, r_attn, latent_tokens=(4, 4, 4)).eval()
+    # strict: the flagship-shaped configs produce a COMPLETE reference key set
+    ref.load_state_dict({k: torch.as_tensor(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=True)
+
+    with torch.no_grad():
+        ref_out = ref(RefBatch(**batch_kw))
+    our_out = ours.apply(params, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+                         jnp.ones((1, n), bool),
+                         encoder_slots=eslots, decoder_slots=eslots)[0]
+    np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_export_modular():
+    _run_export_variant()
+
+
+def test_export_fused_paths():
+    # fused-path param names must be un-renamed before emission
+    _run_export_variant(fused=True)
+
+
+def test_export_identity_projections():
+    # hidden == patch^3 x lifting: NO input/output projections exist on either
+    # side; the shape-based lone-projection disambiguation must not misfire
+    _run_export_variant(hidden=64)
+
+
+def test_export_scale_weights():
+    # multiscale + learned scale weights (outer-Linear-first creation quirk)
+    _run_export_variant(use_scale_weights=True, scales=(1.0, 2.0))
+
+
+def test_export_import_roundtrip_exact():
+    """ours -> torch sd -> import back: bit-identical param tree."""
+    from gaot3d_tpu.torch_export import state_dict_from_params
+    from gaot3d_tpu.torch_import import params_from_torch_state_dict
+
+    cin, cout, n = 2, 1, 200
+    pos, feats = make_cloud(n, seed=5, cin=cin)
+    o_magno, o_attn = make_our_configs("rope")
+    o_magno.mlp_type = "linear"
+    o_magno.fused_encoder = True
+    ours = init_model(cin, cout, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+    slots = build_slots(pos)
+    eslots = [EdgeSlots(slots.lat_idx[None], slots.mask[None])]
+    params = ours.init({"params": jax.random.key(9)}, jnp.asarray(pos)[None],
+                       jnp.asarray(feats)[None], jnp.ones((1, n), bool),
+                       encoder_slots=eslots, decoder_slots=eslots)
+    sd = state_dict_from_params(params, o_magno, o_attn)
+    back = params_from_torch_state_dict(sd, o_magno, o_attn)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_b[ks]),
+                                      err_msg=ks)
