@@ -739,7 +739,7 @@ def test_checkpoint_import_tool(tmp_path):
 def _run_import_variant(hidden=None, use_attn_norm=True, use_ffn_norm=True,
                         use_long_range_skip=True, use_gno=True,
                         use_geoembed=True, embedding_method="statistical",
-                        n=300, seed=13):
+                        mlp_type=None, n=300, seed=13):
     """Build a reference model for a config variant, import its state dict
     via the high-level config-driven entry, and assert forward parity."""
     from gaot3d_tpu.torch_import import params_from_torch_state_dict
@@ -751,6 +751,8 @@ def _run_import_variant(hidden=None, use_attn_norm=True, use_ffn_norm=True,
     for m in (r_magno, o_magno):
         m.use_gno = use_gno
         m.embedding_method = embedding_method
+        if mlp_type is not None:
+            m.mlp_type = mlp_type
     for a in (r_attn, o_attn):
         if hidden is not None:
             a.hidden_size = hidden
@@ -813,7 +815,7 @@ def test_import_pointnet_geoembed():
 
 
 def _run_export_variant(hidden=None, fused=False, use_scale_weights=False,
-                        scales=(1.0,), n=300, seed=23):
+                        scales=(1.0,), mlp_type="linear", n=300, seed=23):
     from gaot3d_tpu.torch_export import state_dict_from_params
 
     cin, cout = 2, 1
@@ -822,9 +824,10 @@ def _run_export_variant(hidden=None, fused=False, use_scale_weights=False,
                                        use_scale_weights=use_scale_weights)
     o_magno, o_attn = make_our_configs("absolute", scales=scales,
                                        use_scale_weights=use_scale_weights)
-    # export emits the torch layout magno_cfg.mlp_type selects; the reference
-    # helper builds LinearChannelMLP modules (make_ref_configs mlp_type="linear")
-    o_magno.mlp_type = "linear"
+    # export emits the torch layout magno_cfg.mlp_type selects (the reference
+    # helper default builds LinearChannelMLP modules)
+    o_magno.mlp_type = mlp_type
+    r_magno.mlp_type = mlp_type
     if fused:
         o_magno.fused_encoder = True
         o_magno.fused_decoder = True
@@ -909,3 +912,15 @@ def test_export_import_roundtrip_exact():
         ks = jax.tree_util.keystr(k)
         np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_b[ks]),
                                       err_msg=ks)
+
+
+def test_import_channel_mlp():
+    # mlp_type='channel': the reference builds Conv1d-based ChannelMLPs for
+    # lifting/recovery/projection ([out,in,1] weights, magno.py:426,452,655);
+    # the importer's conv squeeze must cover all three sites
+    _run_import_variant(mlp_type="channel")
+
+
+def test_export_channel_mlp():
+    # the exporter must emit [out,in,1] for exactly the mlp_type-gated modules
+    _run_export_variant(mlp_type="channel")
