@@ -185,6 +185,16 @@ def _pallas_regression_checks() -> dict:
 def main():
     import jax
 
+    # BENCH_PLATFORM=cpu: run the whole bench path on the CPU backend — the
+    # smoke mode tests/test_bench_utils.py uses to guard every leg of the
+    # driver bench against Python-level breakage BEFORE it burns a TPU
+    # window (round 2 lost its official number to exactly such a bug,
+    # VERDICT.md round-2 item 1). Env JAX_PLATFORMS cannot override the
+    # pinned axon platform; jax.config can.
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     # persistent compilation cache: the remote-tunnel XLA compile of the full
     # step takes 15-25 min; cached executables load in seconds
     try:
@@ -259,8 +269,12 @@ def main():
     N = int(os.environ.get("BENCH_NODES", 524_288))  # 500K-node mesh, padded to 2^19
     B = int(os.environ.get("BENCH_BATCH", 1))
     steps = int(os.environ.get("BENCH_STEPS", 10))
+    # BENCH_LATENT=8,8,8 shrinks the latent grid (CPU smoke mode only — the
+    # measured recipe is the reference's 64x64x32)
+    latent = tuple(int(x) for x in
+                   os.environ.get("BENCH_LATENT", "64,64,32").split(","))
 
-    model = init_model(3, 1, "gaot_3d", magno, attn, latent_tokens=(64, 64, 32))
+    model = init_model(3, 1, "gaot_3d", magno, attn, latent_tokens=latent)
     rng = np.random.default_rng(0)
     pos_np = rng.uniform(-1, 1, (B, N, 3)).astype(np.float32)
     if os.environ.get("BENCH_SORT_POINTS", "0") == "1":
@@ -268,7 +282,7 @@ def main():
         # become nearly sorted -> HBM write coalescing. Point order is free
         # (the model is permutation-equivariant over nodes); a real pipeline
         # would do this once at preprocessing time.
-        dims = (64, 64, 32)
+        dims = latent
         for b in range(B):
             cell = np.floor((pos_np[b] + 1) / 2 * (np.asarray(dims) - 1e-6)).astype(np.int64)
             cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
@@ -288,7 +302,7 @@ def main():
         from gaot3d_tpu.ops import LatentGrid
         from gaot3d_tpu.ops.grid_graph import EdgeSlots, build_edge_slots_host
 
-        grid = LatentGrid(dims=(64, 64, 32))
+        grid = LatentGrid(dims=latent)
         # HOST build (native C++, the real precompute path): the device
         # builder's [N, K_window] transients would OOM at DrivAerML scale
         budget = magno.slot_budget or 0

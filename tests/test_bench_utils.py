@@ -50,3 +50,46 @@ def test_parse_device_step_time_no_events_raises(tmp_path):
     root = _write_trace(tmp_path, [])
     with pytest.raises(AssertionError, match="no train-step module events"):
         bench._parse_device_step_time(root, 2)
+
+
+# ---------------------------------------------------------------------------
+# driver-bench smoke: run the ACTUAL bench.py end-to-end on CPU at toy shapes
+# for every A/B leg the sweep exercises. Round 2 lost its official number to a
+# Python-level bench bug that only fired on the driver's run (VERDICT.md
+# round-2 item 1) — this guard catches that class before a TPU window burns.
+# ---------------------------------------------------------------------------
+import math
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SMOKE_ENV = {
+    "BENCH_PLATFORM": "cpu",
+    "BENCH_LATENT": "8,8,8",
+    "BENCH_NODES": "2048",
+    "BENCH_CHUNK": "1024",
+    "BENCH_STEPS": "2",
+    "BENCH_FAST": "1",
+    "BENCH_EVAL": "0",
+}
+
+
+@pytest.mark.parametrize("leg", [
+    {},  # the driver-default configuration (modulo the toy shapes)
+    {"BENCH_EDGE_LAYOUT": "flat"},
+    {"BENCH_EDGE_LAYOUT": "flat", "BENCH_FLAT_ORDER": "dst"},
+], ids=["driver_default", "flat_src", "flat_dst"])
+def test_bench_smoke_leg(leg):
+    env = {**os.environ, **_SMOKE_ENV, **leg}
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, cwd=REPO, env=env,
+                       timeout=560)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = r.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["value"] > 0
+    assert math.isfinite(out["final_loss"])
+    # all layouts compute the same model: the toy run's loss is a cheap
+    # bench-level exactness cross-check (same data, seed, and dropout-free
+    # loss path at these settings)
+    assert out["final_loss"] == pytest.approx(0.986149, abs=2e-4)
