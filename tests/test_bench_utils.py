@@ -69,16 +69,18 @@ _SMOKE_ENV = {
     "BENCH_NODES": "2048",
     "BENCH_CHUNK": "1024",
     "BENCH_STEPS": "2",
-    "BENCH_FAST": "1",
-    "BENCH_EVAL": "0",
 }
 
 
 @pytest.mark.parametrize("leg", [
-    {},  # the driver-default configuration (modulo the toy shapes)
-    {"BENCH_EDGE_LAYOUT": "flat"},
-    {"BENCH_EDGE_LAYOUT": "flat", "BENCH_FLAT_ORDER": "dst"},
-], ids=["driver_default", "flat_src", "flat_dst"])
+    # the driver-default leg runs the FULL bench flow exactly as the driver
+    # invokes it (checks + breakdown + eval on); the A/B legs use FAST/no-eval
+    # to keep the suite quick
+    {},
+    {"BENCH_EDGE_LAYOUT": "flat", "BENCH_FAST": "1", "BENCH_EVAL": "0"},
+    {"BENCH_EDGE_LAYOUT": "flat", "BENCH_FLAT_ORDER": "dst",
+     "BENCH_FAST": "1", "BENCH_EVAL": "0"},
+], ids=["driver_default_full", "flat_src", "flat_dst"])
 def test_bench_smoke_leg(leg):
     env = {**os.environ, **_SMOKE_ENV, **leg}
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
