@@ -96,3 +96,106 @@ def load_inference(path: str):
         blob = f.read()
     exported = jax_export.deserialize(blob)
     return exported.call
+
+
+# -- multi-bucket bundles -----------------------------------------------------
+#
+# Exported functions are static-shaped, but deployment meshes vary in size.
+# The trainer's answer is bucket padding (data/pipeline.py pad_multiple); the
+# serving twin is a BUNDLE: one export per node bucket in a single file, plus
+# a dispatcher that pads each request up to the smallest covering bucket and
+# slices the prediction back. (The reference has no serving story at all —
+# its `test()` requires the python stack per inference, stat.py:575-788.)
+
+BUCKET_MAGIC = b"GAOTXB01"
+
+
+def export_inference_buckets(
+    model,
+    params,
+    examples: dict,
+    path: str,
+    example_kwargs: Optional[dict] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Serialize one export per node bucket into a single bundle file.
+
+    examples: {padded_node_count: example_args_tuple} — each tuple as in
+    export_inference ((pos [B,n,3], feats [B,n,C], mask [B,n]), optionally
+    followed by edge-structure pytrees). example_kwargs are baked into every
+    bucket's closure."""
+    import struct
+
+    from jax import export as jax_export
+
+    _register_pytrees()
+    kwargs = dict(example_kwargs or {})
+
+    def infer(*args):
+        return model.apply(params, *args, train=False, **kwargs)
+
+    fn = jax.jit(infer)
+    blobs = []
+    for n in sorted(examples):
+        exp = jax_export.export(fn, platforms=platforms)(*examples[n])
+        blobs.append((int(n), exp.serialize()))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(BUCKET_MAGIC)
+        f.write(struct.pack("<I", len(blobs)))
+        for n, blob in blobs:
+            f.write(struct.pack("<QQ", n, len(blob)))
+            f.write(blob)
+    os.replace(tmp, path)
+
+
+class BucketedInference:
+    """Dispatcher over a bucket bundle: pads (pos, feats, mask) along the node
+    axis to the smallest covering bucket (mask padding is False, so padded
+    rows are inert end-to-end) and slices predictions back to the request
+    size. Requests with extra args (call-time edge structures) must already
+    be at an exact bucket size — edge pytrees are bucket-shaped by
+    construction and are not padded here."""
+
+    def __init__(self, calls: dict):
+        self.calls = dict(sorted(calls.items()))
+        self.buckets = list(self.calls)
+
+    def __call__(self, pos, feats, mask, *extra):
+        import jax.numpy as jnp
+
+        n = pos.shape[1]
+        bucket = next((b for b in self.buckets if b >= n), None)
+        if bucket is None:
+            raise ValueError(
+                f"{n} nodes exceeds the largest bucket {self.buckets[-1]}")
+        if extra and bucket != n:
+            raise ValueError(
+                f"call-time edge structures require an exact bucket size; "
+                f"got {n} nodes, buckets {self.buckets}")
+        if bucket != n:
+            pad = bucket - n
+            pos = jnp.pad(pos, ((0, 0), (0, pad), (0, 0)))
+            feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))  # False: padded rows inert
+        out = self.calls[bucket](pos, feats, mask, *extra)
+        return out[:, :n] if bucket != n else out
+
+
+def load_inference_buckets(path: str) -> BucketedInference:
+    """Load a bucket bundle; returns the padding dispatcher."""
+    import struct
+
+    from jax import export as jax_export
+
+    _register_pytrees()
+    calls = {}
+    with open(path, "rb") as f:
+        magic = f.read(len(BUCKET_MAGIC))
+        if magic != BUCKET_MAGIC:
+            raise ValueError(f"{path} is not a gaot3d_tpu bucket bundle")
+        (count,) = struct.unpack("<I", f.read(4))
+        for _ in range(count):
+            n, length = struct.unpack("<QQ", f.read(16))
+            calls[int(n)] = jax_export.deserialize(f.read(length)).call
+    return BucketedInference(calls)

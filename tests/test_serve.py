@@ -126,3 +126,53 @@ def test_load_rejects_non_export(tmp_path):
         f.write(b"not an export")
     with pytest.raises(ValueError, match="bad magic"):
         load_inference(p)
+
+
+def test_bucket_bundle_dispatch(tmp_path):
+    """Multi-bucket bundle: requests pad up to the smallest covering bucket
+    and predictions slice back; padded rows are inert (mask False), so the
+    dispatched result matches the model run at the request's own padding."""
+    from gaot3d_tpu.serve import export_inference_buckets, load_inference_buckets
+
+    model = _tiny()
+    rng = np.random.default_rng(7)
+
+    def example(n):
+        return (jnp.zeros((1, n, 3), jnp.float32),
+                jnp.zeros((1, n, 2), jnp.float32),
+                jnp.ones((1, n), bool))
+
+    pos0, feats0, mask0 = example(64)
+    params = model.init({"params": jax.random.key(0)}, pos0, feats0, mask0)
+    path = os.path.join(tmp_path, "model.gaotxb")
+    export_inference_buckets(model, params, {64: example(64), 128: example(128)},
+                             path)
+    infer = load_inference_buckets(path)
+    assert infer.buckets == [64, 128]
+
+    jit_apply = jax.jit(lambda *a: model.apply(params, *a, train=False))
+    for n, bucket in ((50, 64), (64, 64), (100, 128), (128, 128)):
+        pos = jnp.asarray(rng.uniform(-1, 1, (1, n, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(1, n, 2)), jnp.float32)
+        mask = jnp.ones((1, n), bool)
+        got = infer(pos, feats, mask)
+        assert got.shape == (1, n, 1)
+        pad = bucket - n
+        want = jit_apply(jnp.pad(pos, ((0, 0), (0, pad), (0, 0))),
+                         jnp.pad(feats, ((0, 0), (0, pad), (0, 0))),
+                         jnp.pad(mask, ((0, 0), (0, pad))))[:, :n]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    with pytest.raises(ValueError, match="exceeds the largest bucket"):
+        infer(jnp.zeros((1, 200, 3)), jnp.zeros((1, 200, 2)),
+              jnp.ones((1, 200), bool))
+
+
+def test_bucket_bundle_rejects_wrong_magic(tmp_path):
+    from gaot3d_tpu.serve import load_inference_buckets
+
+    p = os.path.join(tmp_path, "bad.gaotxb")
+    with open(p, "wb") as f:
+        f.write(b"GAOTX001xxxx")
+    with pytest.raises(ValueError, match="bucket bundle"):
+        load_inference_buckets(p)

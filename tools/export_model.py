@@ -23,13 +23,15 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", required=True, help="msgpack checkpoint path")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--nodes", type=int, required=True,
-                    help="padded node count the artifact serves — must equal "
-                         "the deployment batches' padded size (a sample's "
-                         "node count rounded up to dataset.pad_multiple), "
-                         "e.g. 524288 for ~500K-node DrivAerNet samples with "
-                         "pad_multiple 65536; the exported function is "
-                         "static-shaped")
+    ap.add_argument("--nodes", required=True,
+                    help="padded node count(s) the artifact serves. One value "
+                         "(e.g. 524288) exports a single static-shaped "
+                         "function; a comma list (e.g. 262144,524288,1048576) "
+                         "exports a BUCKET BUNDLE whose loader pads each "
+                         "request to the smallest covering bucket "
+                         "(gaot3d_tpu.serve.load_inference_buckets) — the "
+                         "serving twin of the trainer's pad_multiple bucket "
+                         "padding")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. tpu (default: current)")
@@ -53,12 +55,13 @@ def main():
 
     from gaot3d_tpu.config import load_run_config
     from gaot3d_tpu.models import init_model
-    from gaot3d_tpu.serve import export_inference
+    from gaot3d_tpu.serve import export_inference, export_inference_buckets
     from gaot3d_tpu.train.checkpoint import load_params_only
 
     cfg = load_run_config(args.config)
     margs = cfg.model.args
-    N = args.nodes
+    buckets = sorted(int(n) for n in str(args.nodes).split(","))
+    N = buckets[-1]
     B = args.batch
 
     cin, cout = args.in_channels, args.out_channels
@@ -73,10 +76,17 @@ def main():
                           pos[:, :32], feats[:, :32], mask[:, :32])
     params = load_params_only(args.ckpt, template)
 
-    export_inference(model, params, (pos, feats, mask), args.output,
-                     platforms=args.platforms)
+    if len(buckets) == 1:
+        export_inference(model, params, (pos, feats, mask), args.output,
+                         platforms=args.platforms)
+    else:
+        examples = {
+            n: (pos[:, :n], feats[:, :n], mask[:, :n]) for n in buckets
+        }
+        export_inference_buckets(model, params, examples, args.output,
+                                 platforms=args.platforms)
     print(f"exported {args.output} ({os.path.getsize(args.output)} bytes), "
-          f"shapes: pos[{B},{N},3] feats[{B},{N},{cin}] -> [{B},{N},{cout}]")
+          f"buckets {buckets}, batch {B}, {cin} -> {cout} channels")
 
 
 if __name__ == "__main__":
