@@ -298,6 +298,13 @@ def main():
     # them. BENCH_PRECOMPUTED=0 measures the online on-device build instead.
     enc_slots = dec_slots = None
     precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
+    if not precomputed and os.environ.get("BENCH_EDGE_LAYOUT", "slots") == "flat":
+        # refuse rather than silently record a slotted device-build run under
+        # the flat label (the round-2 failure class: a bench leg measuring
+        # something other than what its name claims)
+        raise SystemExit(
+            "BENCH_EDGE_LAYOUT=flat requires BENCH_PRECOMPUTED=1 "
+            "(flat lists are built host-side from precomputed slots)")
     if precomputed:
         from gaot3d_tpu.ops import LatentGrid
         from gaot3d_tpu.ops.grid_graph import EdgeSlots, build_edge_slots_host

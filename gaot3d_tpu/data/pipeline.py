@@ -206,7 +206,11 @@ class BatchLoader:
         if self.slot_mode != "device" and "slots" in samples[0]:
             from ..ops.grid_graph import EdgeSlots
 
-            def pad_slots(direction):
+            def pad_slots_np(direction):
+                """Padded HOST arrays — flat conversion consumes these before
+                any device placement (a jnp.asarray here would round-trip the
+                full [B,N,K] slots through the device per batch just to
+                flatten them back on the host)."""
                 per_scale = []
                 for sidx in range(self.num_scales):
                     K = samples[0]["slots"][direction][sidx][0].shape[-1]
@@ -217,11 +221,11 @@ class BatchLoader:
                         n = min(si.shape[0], n_pad)
                         idx[i, :n] = si[:n]
                         msk[i, :n] = sm[:n]
-                    per_scale.append(EdgeSlots(jnp.asarray(idx), jnp.asarray(msk)))
-                return tuple(per_scale)
+                    per_scale.append((idx, msk))
+                return per_scale
 
-            enc_slots = pad_slots("encoder")
-            dec_slots = pad_slots("decoder")
+            enc_np = pad_slots_np("encoder")
+            dec_np = pad_slots_np("decoder")
             if self.edge_layout == "flat":
                 # per-chunk compacted edge lists (FlatEdgeChunks): chunking
                 # must match the model's edge scan (effective_chunk)
@@ -230,18 +234,22 @@ class BatchLoader:
 
                 chunk = effective_chunk(n_pad, self.edge_chunk_size)
 
-                def to_flat(slot_tuple, order):
+                def to_flat(pairs, order):
                     return tuple(
                         flatten_slots_host_batched(
-                            np.asarray(s.lat_idx), np.asarray(s.mask), chunk,
-                            order=order,
+                            idx, msk, chunk, order=order,
                             edges_per_chunk=self.flat_edges_per_chunk,
                         )
-                        for s in slot_tuple
+                        for idx, msk in pairs
                     )
 
-                enc_slots = to_flat(enc_slots, self.flat_order)
-                dec_slots = to_flat(dec_slots, "src")  # decoder fold invariant
+                enc_slots = to_flat(enc_np, self.flat_order)
+                dec_slots = to_flat(dec_np, "src")  # decoder fold invariant
+            else:
+                enc_slots = tuple(
+                    EdgeSlots(jnp.asarray(i), jnp.asarray(m)) for i, m in enc_np)
+                dec_slots = tuple(
+                    EdgeSlots(jnp.asarray(i), jnp.asarray(m)) for i, m in dec_np)
         return PointBatch(
             pos=jnp.asarray(pos),
             feats=jnp.asarray(feats),

@@ -45,8 +45,13 @@ def _register_pytrees():
             jax_export.register_namedtuple_serialization(
                 cls, serialized_name=f"gaot3d_tpu.{cls.__name__}"
             )
-        except ValueError:  # already registered in this process
-            pass
+        except ValueError as e:
+            # tolerate ONLY the benign re-registration under OUR name ("...
+            # Previous registration was with serialized_name `X`"); a genuine
+            # conflict (registered under another name) would otherwise surface
+            # later as an opaque signature mismatch far from here
+            if f"serialized_name `gaot3d_tpu.{cls.__name__}`" not in str(e):
+                raise
 
 
 def export_inference(
@@ -96,6 +101,32 @@ def load_inference(path: str):
         blob = f.read()
     exported = jax_export.deserialize(blob)
     return exported.call
+
+
+def make_edge_arg_model(model, num_scales: int = 1):
+    """Wrap a GAOT3D so precomputed edge structures become CALL-TIME
+    positional args of the exported function instead of baked constants:
+    `apply(params, pos, feats, mask, enc_s0..enc_s{S-1}, dec_s0..dec_s{S-1})`.
+
+    This is the precomputed-graph serving mode (one artifact serves many
+    meshes of the padded shape, each with its own host-built EdgeSlots /
+    FlatEdgeChunks) — without it, exports bake the on-device stencil build
+    into the artifact, whose [N, K_window] transients are the expensive path
+    at deployment scale (see MAGNOConfig.slot_budget notes)."""
+
+    class _EdgeArgModel:
+        def apply(self, p, pos, feats, mask, *edges, train=False):
+            if len(edges) != 2 * num_scales:
+                raise ValueError(
+                    f"expected {2 * num_scales} edge structures "
+                    f"(encoder+decoder per scale), got {len(edges)}")
+            return model.apply(
+                p, pos, feats, mask, train=train,
+                encoder_slots=list(edges[:num_scales]),
+                decoder_slots=list(edges[num_scales:]),
+            )
+
+    return _EdgeArgModel()
 
 
 # -- multi-bucket bundles -----------------------------------------------------

@@ -185,6 +185,8 @@ int64_t gaot_flatten_slots(const int32_t* lat_idx, const uint8_t* mask,
   if (!lat_idx || !mask || !src || !dst || !out_mask) return -1;
   if (chunk <= 0 || n_points % chunk != 0 || E <= 0) return -1;
   const int64_t nc = n_points / chunk;
+  if (nc == 0) return 0;  // empty input: nothing to write (and the thread
+  // clamp below would otherwise drive `per` into a divide-by-zero SIGFPE)
   if (n_threads < 1) n_threads = 1;
   if (n_threads > nc) n_threads = (int)nc;
   std::vector<int64_t> maxes((size_t)n_threads, 0);

@@ -95,3 +95,15 @@ def test_bench_smoke_leg(leg):
     # bench-level exactness cross-check (same data, seed, and dropout-free
     # loss path at these settings)
     assert out["final_loss"] == pytest.approx(0.986149, abs=2e-4)
+
+
+def test_bench_refuses_flat_without_precomputed():
+    # a 'flat' A/B leg with the device build would silently measure the
+    # slotted layout under the flat label — bench must refuse instead
+    env = {**os.environ, **_SMOKE_ENV,
+           "BENCH_PRECOMPUTED": "0", "BENCH_EDGE_LAYOUT": "flat"}
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, cwd=REPO, env=env,
+                       timeout=120)
+    assert r.returncode == 1
+    assert "BENCH_PRECOMPUTED=1" in r.stderr

@@ -176,3 +176,35 @@ def test_bucket_bundle_rejects_wrong_magic(tmp_path):
         f.write(b"GAOTX001xxxx")
     with pytest.raises(ValueError, match="bucket bundle"):
         load_inference_buckets(p)
+
+
+def test_make_edge_arg_model_roundtrip(tmp_path):
+    """The library wrapper for call-time edge structures (the CLI's
+    --edges slots/flat mode) exports and reloads; fresh slots at call time
+    change the result consistently with the in-process model."""
+    from gaot3d_tpu.ops import LatentGrid, build_edge_slots_batched
+    from gaot3d_tpu.serve import make_edge_arg_model
+
+    model = _tiny()
+    rng = np.random.default_rng(4)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+
+    wrapped = make_edge_arg_model(model, num_scales=1)
+    path = os.path.join(tmp_path, "model_edges.gaotx")
+    export_inference(wrapped, params, (pos, feats, mask, slots, slots), path)
+    infer = load_inference(path)
+
+    want = jax.jit(lambda *a: model.apply(
+        params, a[0], a[1], a[2], train=False,
+        encoder_slots=[a[3]], decoder_slots=[a[4]]))(pos, feats, mask, slots, slots)
+    got = infer(pos, feats, mask, slots, slots)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    with pytest.raises(ValueError, match="edge structures"):
+        wrapped.apply(params, pos, feats, mask, slots)

@@ -40,6 +40,18 @@ def main():
                          "trace/serialize job; cpu avoids grabbing — or "
                          "hanging on — the TPU tunnel, and --platforms tpu "
                          "still cross-lowers for TPU serving)")
+    ap.add_argument("--edges", choices=["baked", "slots", "flat"],
+                    default="baked",
+                    help="'baked' compiles the on-device edge build into the "
+                         "artifact (self-contained, but pays the stencil "
+                         "search per call); 'slots'/'flat' export the "
+                         "precomputed-graph serving mode — edge structures "
+                         "(EdgeSlots / FlatEdgeChunks per scale, encoder "
+                         "then decoder) become call-time args the deployment "
+                         "builds host-side (ops.build_edge_slots_host / "
+                         "flatten_slots_host_batched). 'flat' requires "
+                         "magno.flat_edges_per_chunk pinned in the config "
+                         "(the artifact's edge shapes are static)")
     ap.add_argument("--in-channels", type=int, default=1,
                     help="encoder input feature width (the trainer infers "
                          "this from data; the export tool needs it explicit)")
@@ -55,7 +67,11 @@ def main():
 
     from gaot3d_tpu.config import load_run_config
     from gaot3d_tpu.models import init_model
-    from gaot3d_tpu.serve import export_inference, export_inference_buckets
+    from gaot3d_tpu.serve import (
+        export_inference,
+        export_inference_buckets,
+        make_edge_arg_model,
+    )
     from gaot3d_tpu.train.checkpoint import load_params_only
 
     cfg = load_run_config(args.config)
@@ -76,14 +92,62 @@ def main():
                           pos[:, :32], feats[:, :32], mask[:, :32])
     params = load_params_only(args.ckpt, template)
 
+    def example(n):
+        ex = (pos[:, :n], feats[:, :n], mask[:, :n])
+        if args.edges == "baked":
+            return ex
+        # call-time edge structures: the example fixes SHAPES only (slot
+        # budget K per scale; flat chunk budget E) — values are per-request
+        import numpy as np_  # noqa: F401 (np already imported above)
+        from gaot3d_tpu.models.integral_transform import effective_chunk
+        from gaot3d_tpu.ops import LatentGrid
+        from gaot3d_tpu.ops.grid_graph import (
+            EdgeSlots,
+            build_edge_slots_host,
+            flatten_slots_host_batched,
+        )
+
+        from gaot3d_tpu.models.magno import parse_neighbor_strategy
+
+        grid = LatentGrid(dims=tuple(margs.latent_tokens))
+        mag = margs.magno
+        enc_strat, dec_strat = parse_neighbor_strategy(mag.neighbor_strategy)
+        structures = []
+        for direction, strat in (("encoder", enc_strat), ("decoder", dec_strat)):
+            per_scale = []
+            for s in mag.scales:
+                lat, msk = build_edge_slots_host(
+                    np.asarray(pos[0, :n]), grid, mag.gno_radius * s,
+                    k_neighbors=mag.k_neighbors,
+                    strategy=strat, budget=mag.slot_budget or 0,
+                )
+                latB = np.broadcast_to(lat, (B,) + lat.shape)
+                mskB = np.broadcast_to(msk, (B,) + msk.shape)
+                if args.edges == "flat":
+                    if not mag.flat_edges_per_chunk:
+                        raise SystemExit(
+                            "--edges flat needs magno.flat_edges_per_chunk "
+                            "pinned in the config (static artifact shapes)")
+                    chunk = effective_chunk(n, mag.edge_chunk_size)
+                    order = mag.flat_order if direction == "encoder" else "src"
+                    per_scale.append(flatten_slots_host_batched(
+                        np.ascontiguousarray(latB), np.ascontiguousarray(mskB),
+                        chunk, order=order,
+                        edges_per_chunk=mag.flat_edges_per_chunk))
+                else:
+                    per_scale.append(EdgeSlots(jnp.asarray(latB),
+                                               jnp.asarray(mskB)))
+            structures.extend(per_scale)
+        return ex + tuple(structures)
+
+    export_target = (model if args.edges == "baked"
+                     else make_edge_arg_model(model, len(margs.magno.scales)))
     if len(buckets) == 1:
-        export_inference(model, params, (pos, feats, mask), args.output,
+        export_inference(export_target, params, example(N), args.output,
                          platforms=args.platforms)
     else:
-        examples = {
-            n: (pos[:, :n], feats[:, :n], mask[:, :n]) for n in buckets
-        }
-        export_inference_buckets(model, params, examples, args.output,
+        examples = {n: example(n) for n in buckets}
+        export_inference_buckets(export_target, params, examples, args.output,
                                  platforms=args.platforms)
     print(f"exported {args.output} ({os.path.getsize(args.output)} bytes), "
           f"buckets {buckets}, batch {B}, {cin} -> {cout} channels")

@@ -10,6 +10,13 @@ cd "$(dirname "$0")/.."
 PROBE='import jax; d = jax.devices(); print("TUNNEL_OK", d)'
 while true; do
   if timeout 75 python -c "$PROBE" 2>/dev/null | grep -q TUNNEL_OK; then
+    # single-TPU-process rule (CLAUDE.md): two TPU processes silently
+    # serialize and corrupt every device-timed number. -x (exact name, no
+    # -f) cannot match this script's own command line.
+    while pgrep -x python >/dev/null || pgrep -x python3 >/dev/null; do
+      echo "tunnel healthy but another python process is running; waiting"
+      sleep 120
+    done
     echo "tunnel healthy at $(date); launching A/B sweep"
     bash tools/ab_flat_sweep.sh 2>&1 | tee /tmp/ab_sweep_run.log
     echo "sweep done at $(date)"
