@@ -63,3 +63,34 @@ def test_dataset_loads_gsb(tmp_path):
     write_gsb(path, arrays)
     out = load_sample(path)
     np.testing.assert_array_equal(out["x"], arrays["x"])
+
+
+def test_repack_gsb_cli(tmp_path):
+    """tools/repack_gsb.py end-to-end: .npz samples + order file -> .gsb
+    stores readable through the native loader with identical arrays."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    processed = tmp_path / "processed"
+    processed.mkdir()
+    rng = np.random.default_rng(0)
+    names = ["a", "b"]
+    samples = {}
+    for name in names:
+        s = {"pos": rng.uniform(-1, 1, (37, 3)).astype(np.float32),
+             "x": rng.normal(size=(37, 2)).astype(np.float32)}
+        np.savez(processed / f"{name}.npz", **s)
+        samples[name] = s
+    (tmp_path / "order_processed.txt").write_text("\n".join(names) + "\n")
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "repack_gsb.py"),
+         "--root", str(tmp_path), "--folder", "processed"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for name in names:
+        out = read_gsb_numpy(str(processed / f"{name}.gsb"))
+        for k, v in samples[name].items():
+            np.testing.assert_array_equal(out[k], v)
