@@ -31,4 +31,12 @@ run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
 # at chunk 64K is ~2.3x smaller than slotted; the chunk optimum may shift up
 run flat_src_128k BENCH_EDGE_LAYOUT=flat BENCH_CHUNK=131072
 run flat_dst_128k BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst BENCH_CHUNK=131072
+
+echo "=== summary (device_step_time_s per leg; lower is better) ==="
+for f in /tmp/ab_baseline_slots.log /tmp/ab_flat_src.log /tmp/ab_flat_dst.log \
+         /tmp/ab_flat_src_128k.log /tmp/ab_flat_dst_128k.log; do
+  [ -f "$f" ] || continue
+  printf '%-24s %s\n' "$(basename "$f" .log)" \
+    "$(grep -o '"device_step_time_s": [0-9.]*' "$f" | head -1)"
+done
 echo "=== done ==="
