@@ -41,3 +41,20 @@ def test_main_config_mode(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 1
     assert "nparams" in rows[0] and float(rows[0]["nparams"]) > 0
+
+
+def test_main_folder_mode(tmp_path):
+    """--folder spawns one subprocess per config with failure isolation: a
+    config with an unknown key fails its job while the good one completes."""
+    good_cfg, good_db = _tiny_cfg(tmp_path, "good")
+    bad = tmp_path / "cfgs"
+    bad.mkdir()
+    os.rename(good_cfg, bad / "good.yaml")
+    (bad / "bad.yaml").write_text("setup:\n  not_a_real_key: 1\n")
+    r = subprocess.run([sys.executable, os.path.join(REPO, "main.py"),
+                        "--folder", str(bad)],
+                       capture_output=True, text=True, cwd=REPO, timeout=560)
+    # the sweep itself survives the bad job (reference main.py:171-221)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(good_db)
+    assert "failed" in (r.stderr + r.stdout).lower()
