@@ -208,3 +208,38 @@ def test_make_edge_arg_model_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="edge structures"):
         wrapped.apply(params, pos, feats, mask, slots)
+
+
+def test_neural_field_query_export(tmp_path):
+    """Neural-field serving: decoder query coordinates ride as CALL-TIME args
+    — one artifact answers arbitrary query points per request (the serving
+    twin of the reference's neural_field evaluation, stat.py:438-514)."""
+    model = _tiny()
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 64, 2)), jnp.float32)
+    mask = jnp.ones((1, 64), bool)
+    qpos = jnp.asarray(rng.uniform(-1, 1, (1, 48, 3)), jnp.float32)
+    qmask = jnp.ones((1, 48), bool)
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask)
+
+    class QueryWrapper:
+        def apply(self, p, pos, feats, mask, qpos, qmask, train=False):
+            return model.apply(p, pos, feats, mask, query_pos=qpos,
+                               query_mask=qmask, train=train)
+
+    path = os.path.join(tmp_path, "model_nf.gaotx")
+    export_inference(QueryWrapper(), params, (pos, feats, mask, qpos, qmask), path)
+    infer = load_inference(path)
+
+    want = jax.jit(lambda *a: model.apply(params, a[0], a[1], a[2],
+                                          query_pos=a[3], query_mask=a[4],
+                                          train=False))(pos, feats, mask, qpos, qmask)
+    got = infer(pos, feats, mask, qpos, qmask)
+    assert got.shape == (1, 48, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # a second request with DIFFERENT query points through the same artifact
+    qpos2 = jnp.asarray(rng.uniform(-1, 1, (1, 48, 3)), jnp.float32)
+    got2 = infer(pos, feats, mask, qpos2, qmask)
+    assert not np.allclose(np.asarray(got2), np.asarray(got))
