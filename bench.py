@@ -521,6 +521,12 @@ def main():
         "step_time_s": round(step_time, 4),
         "final_loss": round(final_loss, 6),  # finite-ness honesty check
         "precomputed_graphs": precomputed,
+        # the measured configuration, so records stay interpretable when env
+        # knobs change the run (A/B legs, scale sweeps, CPU smoke)
+        "nodes": N,
+        "batch": B,
+        "edge_layout": os.environ.get("BENCH_EDGE_LAYOUT", "slots"),
+        "platform": jax.devices()[0].platform,
     }
     if device_step is not None:
         # profiling itself wrecks WALL time through the axon tunnel (500K:
