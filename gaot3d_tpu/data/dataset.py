@@ -147,7 +147,14 @@ def compute_or_load_stats(
     """Normalization statistics from the train split, cached to disk
     (parity: stat.py:56-124 _calculate_or_load_stats; uses per-variable
     mean/std over all train nodes; torch.std is unbiased -> ddof=1)."""
-    stats_file = os.path.join(config.base_path, f"{config.name}_norm_stats.json")
+    # the computed values are in active-variable space (the dataset slices x
+    # at load) — key the cache by the selection so a full-width cache from an
+    # av=None run is never silently reused for a sliced one (the reference's
+    # cache file is ambiguous this way, stat.py:58)
+    av = config.active_variables
+    av_tag = "" if av is None else "_av" + "-".join(str(i) for i in av)
+    stats_file = os.path.join(
+        config.base_path, f"{config.name}_norm_stats{av_tag}.json")
     if os.path.exists(stats_file) and not config.force_recompute_stats:
         with open(stats_file) as f:
             raw = json.load(f)

@@ -49,13 +49,6 @@ class PointBatch(NamedTuple):
     dec_slots: Optional[tuple] = None
 
 
-def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
-    pad = n - arr.shape[0]
-    if pad <= 0:
-        return arr[:n]
-    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
-
-
 def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
@@ -160,16 +153,28 @@ class BatchLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        n = (n - self.shard_index + self.num_shards - 1) // self.num_shards
+        n = self._per_shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _per_shard_len(self) -> int:
+        # EQUAL per shard (ceil), like torch DistributedSampler — see _indices
+        return -(-len(self.dataset) // self.num_shards)
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng([self.seed, self.epoch]).shuffle(idx)
+        if self.num_shards > 1:
+            # pad by wrapping around so EVERY shard gets the same count
+            # (torch DistributedSampler semantics, reference stat.py:367-397).
+            # Unequal shards would make multi-host processes dispatch a
+            # different number of collective SPMD steps -> deadlock at the
+            # gradient psum, and desynchronize steps_per_epoch/LR schedules.
+            total = self._per_shard_len() * self.num_shards
+            if total > idx.shape[0]:
+                idx = np.resize(idx, total)  # cyclic tiling (handles n < shards)
         return idx[self.shard_index :: self.num_shards]
 
     def _make_batch(self, samples: List[Dict[str, np.ndarray]]) -> PointBatch:
@@ -325,12 +330,20 @@ def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
     sentinel = object()
     put = put_fn if put_fn is not None else jax.device_put
 
+    class _PrefetchError:
+        def __init__(self, exc):
+            self.exc = exc
+
     def producer():
+        # propagate loader/placement errors to the consumer — a swallowed
+        # exception here would read as a clean (short or empty) epoch, and a
+        # zero-batch epoch trains on nothing while reporting loss 0.0
         try:
             for item in iterator:
                 q.put(put(item))
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            q.put(_PrefetchError(e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -338,4 +351,6 @@ def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, _PrefetchError):
+            raise item.exc
         yield item

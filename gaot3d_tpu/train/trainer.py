@@ -385,6 +385,16 @@ class StaticTrainer3D(TrainerBase):
                 raise ValueError(
                     "neural_field training strategy requires update_pt_files_with_edges=False"
                 )
+            if config.model.args.magno.asynchronous_graph_building:
+                # the async collate would host-build full-graph slots per
+                # sample per epoch that the neural-field step never consumes
+                # (it samples nodes on device and rebuilds edges from the
+                # sampled coords) — refuse like the precompute conflict above
+                raise ValueError(
+                    "neural_field training strategy requires "
+                    "asynchronous_graph_building=False (edges are built "
+                    "on device from the sampled coordinates)"
+                )
             config.model.args.magno.precompute_edges = False
         super().__init__(config)
 
@@ -407,19 +417,26 @@ class StaticTrainer3D(TrainerBase):
         self.latent_tokens_pos = self.grid.positions()
 
         train_ds = MeshDataset(dataset_config, "train") if self.setup_config.train else None
-        stats_source = train_ds or MeshDataset(dataset_config, "train")
         if dataset_config.use_metadata_stats:
             self.stats = {
                 "mean": np.asarray(self.metadata.global_mean, np.float32),
                 "std": np.asarray(self.metadata.global_std, np.float32),
             }
+            # metadata constants are FULL-width -> select the active channels
+            # (reference stat.py:717-718 does the same for this path)
+            if dataset_config.active_variables is not None:
+                av = list(dataset_config.active_variables)
+                self.stats = {
+                    "mean": self.stats["mean"][av], "std": self.stats["std"][av]
+                }
         else:
-            self.stats = compute_or_load_stats(dataset_config, stats_source)
-        if dataset_config.active_variables is not None:
-            av = list(dataset_config.active_variables)
-            self.stats = dict(self.stats)
-            self.stats["mean"] = self.stats["mean"][av]
-            self.stats["std"] = self.stats["std"][av]
+            # computed stats are ALREADY in active-variable space: the dataset
+            # slices x at load (data/dataset.py:138-139), so no second
+            # selection. (The reference re-indexes its equally-pre-sliced
+            # u_mean at stat.py:283-286 — a latent bug that only works for
+            # prefix selections like [0,1]; not replicated.)
+            # compute_or_load_stats builds its own train dataset when None
+            self.stats = compute_or_load_stats(dataset_config, train_ds)
 
         pre = SamplePreprocessor(
             stats=self.stats,
@@ -466,14 +483,29 @@ class StaticTrainer3D(TrainerBase):
             slot_mode = "async"
             magno_cfg.precompute_edges = True
 
+        # one test dataset + preprocessed probe sample shared by the
+        # slot-budget check, the loaders, and the datarow edge counts below
+        # (each probe slot build costs ~26s/500K nodes on the numpy fallback)
+        test_ds = MeshDataset(dataset_config, "test")
+        probe_sample = pre(test_ds[0])
+        probe_masks = {}
+        if (dataset_config.use_metadata_stats and "c" in probe_sample
+                and "c_mean" not in self.stats):
+            # metadata stats carry only u mean/std — SamplePreprocessor then
+            # passes condition features through RAW (pipeline.py c_mean gate).
+            # Surface it: the flag claims to change only where u-stats come
+            # from, but it also silently changes c's scale.
+            logger.warning(
+                "use_metadata_stats=True: dataset has condition features 'c' "
+                "but metadata provides no c stats — 'c' is NOT normalized")
+
         # slot_budget safety: compaction is only exact when the budget covers
         # the max per-point degree — validate against a real sample up front
         if magno_cfg.slot_budget is not None:
             from ..models.magno import parse_neighbor_strategy as _pns
             from ..ops.grid_graph import build_edge_slots_host as build_edge_slots_np
 
-            probe_ds = MeshDataset(dataset_config, "test")
-            probe_pos = pre(probe_ds[0])["pos"]
+            probe_pos = probe_sample["pos"]
             enc_s, dec_s = _pns(magno_cfg.neighbor_strategy)
             for strat in {enc_s, dec_s}:
                 for scale in magno_cfg.scales:
@@ -481,6 +513,7 @@ class StaticTrainer3D(TrainerBase):
                         probe_pos, self.grid, magno_cfg.gno_radius * scale,
                         magno_cfg.k_neighbors, strat,
                     )
+                    probe_masks[(strat, magno_cfg.gno_radius * scale)] = m
                     deg = int(m.sum(axis=-1).max())
                     if deg > magno_cfg.slot_budget:
                         raise ValueError(
@@ -529,27 +562,29 @@ class StaticTrainer3D(TrainerBase):
             self.train_loader = None
             self.val_loader = None
         # test runs unsharded; rank 0 aggregates (stat.py:408-418)
-        self.test_loader = BatchLoader(
-            MeshDataset(dataset_config, "test"), shuffle=False, **common
-        )
-        probe = self.test_loader.dataset[0]
-        sample = pre(probe)
+        self.test_loader = BatchLoader(test_ds, shuffle=False, **common)
+        sample = probe_sample
         self.num_input_channels = sample["enc_feats"].shape[-1]
         self.num_output_channels = sample["x"].shape[-1]
 
         # edge-count columns in the results row (reference datarow
-        # 'p2r edges' / 'r2p edges', main.py:107-118; measured on sample 0)
+        # 'p2r edges' / 'r2p edges', main.py:107-118; measured on sample 0 —
+        # reusing the budget probe's masks when it already built them)
         try:
             from ..models.magno import parse_neighbor_strategy as _pns2
             from ..ops.grid_graph import build_edge_slots_host as _besn
 
             enc_s2, dec_s2 = _pns2(magno_cfg.neighbor_strategy)
-            _, em = _besn(sample["pos"], self.grid, magno_cfg.gno_radius,
-                          magno_cfg.k_neighbors, enc_s2)
-            _, dm = _besn(sample["pos"], self.grid, magno_cfg.gno_radius,
-                          magno_cfg.k_neighbors, dec_s2)
-            self.datarow["p2r edges"] = int(em.sum())
-            self.datarow["r2p edges"] = int(dm.sum())
+
+            def _probe_mask(strat):
+                m = probe_masks.get((strat, magno_cfg.gno_radius))
+                if m is None:
+                    _, m = _besn(sample["pos"], self.grid, magno_cfg.gno_radius,
+                                 magno_cfg.k_neighbors, strat)
+                return m
+
+            self.datarow["p2r edges"] = int(_probe_mask(enc_s2).sum())
+            self.datarow["r2p edges"] = int(_probe_mask(dec_s2).sum())
             self.datarow["r2r edges"] = -1  # no latent-latent graph (attention)
         except Exception:  # pragma: no cover
             pass
@@ -606,9 +641,13 @@ class StaticTrainer3D(TrainerBase):
             self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
             self._jit_eval_step = jax.jit(self._eval_step)
         # compiled-argument layouts, harvested lazily at scale (see
-        # _harvest_batch_formats): None = not yet, False = not applicable
-        self._batch_formats = None
-        self._eval_batch_formats = None
+        # _maybe_harvest_formats). Keyed by the batch's PADDED SHAPE: batches
+        # pad per-batch (pipeline round_up), so one format set per compiled
+        # shape — a single cached format would silently stop matching (and
+        # stop helping) the moment a differently-padded batch arrives.
+        # Value False = harvesting not applicable for that shape.
+        self._batch_formats = {}
+        self._eval_batch_formats = {}
 
     # -- steps ------------------------------------------------------------------
     def _forward_loss(self, params, batch: PointBatch, rngs, train: bool):
@@ -680,10 +719,27 @@ class StaticTrainer3D(TrainerBase):
         nodes on v5e), else mesh-sharded when distributed, else a plain
         device_put. Idempotent — device_put to the format an array already
         has is a no-op, so prefetched batches pass through."""
-        if self._batch_formats:
+        fmts = self._batch_formats.get(self._format_key(batch))
+        if fmts:
             from ..utils.layout import put_to_formats
 
-            return put_to_formats(batch, self._batch_formats)
+            return put_to_formats(batch, fmts)
+        if self.mesh is not None:
+            from ..parallel import shard_point_batch
+
+            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
+        return jax.device_put(batch)
+
+    def _device_put_eval_batch(self, batch: PointBatch) -> PointBatch:
+        """Eval twin of _device_put_batch using the EVAL step's harvested
+        layouts — placing eval batches in the TRAIN formats first would
+        relayout each batch twice (train formats in the prefetcher, eval
+        formats at dispatch)."""
+        fmts = self._eval_batch_formats.get(self._format_key(batch))
+        if fmts:
+            from ..utils.layout import put_to_formats
+
+            return put_to_formats(batch, fmts)
         if self.mesh is not None:
             from ..parallel import shard_point_batch
 
@@ -695,25 +751,29 @@ class StaticTrainer3D(TrainerBase):
     # after the first step on TPU) isn't worth it
     _HARMONIZE_MIN_NODES = 1 << 20
 
-    def _harvest_batch_formats(self, batch: PointBatch, step_rng) -> None:
-        """Capture ``compiled.input_formats`` of the jitted train step so
-        subsequent batches are placed in the layouts the program expects.
-        Runs once, after the first train step (so the compilation cache is
-        warm); gated on batch size and overridable via
+    @staticmethod
+    def _format_key(batch: PointBatch):
+        return (batch.pos.shape[0], batch.pos.shape[1])
+
+    def _maybe_harvest_formats(self, cache: dict, batch: PointBatch, lower) -> None:
+        """Capture ``compiled.input_formats`` of a jitted step so subsequent
+        same-shape batches are placed in the layouts the program expects.
+        Runs once per padded shape, after the step ran (so the compilation
+        cache is warm); gated on batch size and overridable via
         GAOT_LAYOUT_HARMONIZE=always|never|auto."""
+        key = self._format_key(batch)
+        if key in cache:
+            return
         mode = os.environ.get("GAOT_LAYOUT_HARMONIZE", "auto")
-        n = batch.pos.shape[0] * batch.pos.shape[1]
+        n = key[0] * key[1]
         if mode == "never" or (mode != "always" and n < self._HARMONIZE_MIN_NODES):
-            self._batch_formats = False
+            cache[key] = False
             return
         try:
-            compiled = self._jit_train_step.lower(
-                self.state, batch, step_rng
-            ).compile()
-            self._batch_formats = compiled.input_formats[0][1]
+            cache[key] = lower().compile().input_formats[0][1]
         except Exception as e:  # pragma: no cover - best-effort optimization
-            logger.info("batch-format harvest skipped: %s: %s", type(e).__name__, e)
-            self._batch_formats = False
+            logger.info("format harvest skipped: %s: %s", type(e).__name__, e)
+            cache[key] = False
 
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
@@ -728,20 +788,16 @@ class StaticTrainer3D(TrainerBase):
         self.state, loss, self._last_grad_norm = self._jit_train_step(
             self.state, batch, step_rng
         )
-        if self._batch_formats is None:
-            self._harvest_batch_formats(batch, step_rng)
+        self._maybe_harvest_formats(
+            self._batch_formats, batch,
+            lambda: self._jit_train_step.lower(self.state, batch, step_rng))
         return loss
 
     def eval_step(self, batch: PointBatch):
         """Mesh-aware eval: batches shard over (data[, node]) exactly like
         training, so evaluation at DrivAerML scale does not OOM one device
         (reference: eval runs through the same DDP wrap, stat.py:552-573)."""
-        if self._eval_batch_formats:
-            from ..utils.layout import put_to_formats
-
-            batch = put_to_formats(batch, self._eval_batch_formats)
-        else:
-            batch = self._device_put_batch(batch)
+        batch = self._device_put_eval_batch(batch)
         if self._jit_eval_step is None:
             from ..parallel import make_sharded_eval_step
 
@@ -750,21 +806,9 @@ class StaticTrainer3D(TrainerBase):
                 example_batch=batch,
             )
         out = self._jit_eval_step(self.state.params, batch)
-        if self._eval_batch_formats is None:
-            mode = os.environ.get("GAOT_LAYOUT_HARMONIZE", "auto")
-            n = batch.pos.shape[0] * batch.pos.shape[1]
-            if mode == "never" or (mode != "always" and n < self._HARMONIZE_MIN_NODES):
-                self._eval_batch_formats = False
-            else:
-                try:
-                    compiled = self._jit_eval_step.lower(
-                        self.state.params, batch
-                    ).compile()
-                    self._eval_batch_formats = compiled.input_formats[0][1]
-                except Exception as e:  # pragma: no cover
-                    logger.info("eval-format harvest skipped: %s: %s",
-                                type(e).__name__, e)
-                    self._eval_batch_formats = False
+        self._maybe_harvest_formats(
+            self._eval_batch_formats, batch,
+            lambda: self._jit_eval_step.lower(self.state.params, batch))
         return out
 
     # -- loops -----------------------------------------------------------------
@@ -869,11 +913,15 @@ class StaticTrainer3D(TrainerBase):
         a single host sync at the end, so the prefetcher keeps the device fed
         (per-batch float() cost one ~27ms tunnel round-trip each)."""
         total = jnp.zeros(())
-        for batch in prefetch_to_device(iter(loader), put_fn=self._device_put_batch):
+        for batch in prefetch_to_device(iter(loader), put_fn=self._device_put_eval_batch):
             _, loss = self.eval_step(batch)
             total = total + loss
         total = float(total)
-        if self.num_processes > 1:
+        # all-reduce ONLY for sharded loaders (val): the test loader is
+        # unsharded (every process iterates the full set, stat.py:408-418), so
+        # summing per-process totals there would multiply the validate_on_test
+        # loss by num_processes
+        if self.num_processes > 1 and getattr(loader, "num_shards", 1) > 1:
             from jax.experimental import multihost_utils
 
             total = float(multihost_utils.process_allgather(jnp.asarray(total)).sum())
@@ -896,18 +944,22 @@ class StaticTrainer3D(TrainerBase):
                 batch = next(it)
             except StopIteration:
                 break
-            batch = self._device_put_batch(batch)
+            batch = self._device_put_eval_batch(batch)
             jax.block_until_ready(batch.pos)
             data_times.append(time.time() - t0)
 
             t1 = time.time()
             pred, _ = self.eval_step(batch)
-            jax.block_until_ready(pred)
+            # sync by VALUE FETCH, not block_until_ready: on the axon remote
+            # backend block_until_ready returns EARLY for programs with
+            # explicit args (bench.py documents the measured trap), which
+            # would push the real wait into the untimed np.asarray below and
+            # report near-zero inference times
+            pred_np = np.asarray(pred)
             inference_times.append(time.time() - t1)
 
             counts = np.asarray(batch.num_nodes)
             total_samples += int((counts > 0).sum())
-            pred_np = np.asarray(pred)
             target_np = np.asarray(batch.target)
             for b in range(pred_np.shape[0]):
                 n = int(counts[b])

@@ -163,3 +163,81 @@ def test_npz_save_atomic(tmp_path):
     assert os.path.exists(p) and not os.path.exists(p + ".tmp.npz")
     out = load_sample(p)
     assert out["pos"].shape == (3, 3)
+
+
+def test_shards_equal_length_with_wraparound(synth_root):
+    """Per-process shards must have EQUAL batch counts (DistributedSampler
+    semantics): unequal counts would make multi-host processes dispatch a
+    different number of collective SPMD steps and deadlock at the psum."""
+    import dataclasses
+
+    root, cfg = synth_root
+    cfg7 = dataclasses.replace(cfg, train_size=7)  # odd across 2 shards
+    ds = MeshDataset(cfg7, "train")
+    pre = SamplePreprocessor(stats={"mean": np.zeros(1, np.float32),
+                                    "std": np.ones(1, np.float32)},
+                             metadata=DATASET_METADATA[cfg.metaname])
+    loaders = [
+        BatchLoader(ds, preprocessor=pre, batch_size=2, pad_multiple=64,
+                    num_shards=2, shard_index=i, drop_last=True, seed=3,
+                    shuffle=True)
+        for i in range(2)
+    ]
+    counts = [sum(1 for _ in ld) for ld in loaders]
+    assert counts[0] == counts[1] == len(loaders[0]) == len(loaders[1])
+    # every dataset index is still covered across shards (epoch coverage)
+    seen = set()
+    for ld in loaders:
+        for idx in ld._indices():
+            seen.add(int(idx))
+    assert seen == set(range(7))
+
+
+def test_prefetch_propagates_loader_errors():
+    """A failing loader must raise in the consumer, not end the epoch silently
+    (a swallowed error reads as loss 0.0 over zero batches)."""
+    import jax
+
+    from gaot3d_tpu.data.pipeline import prefetch_to_device
+
+    def bad_iterator():
+        yield jax.numpy.zeros(())
+        raise RuntimeError("corrupt sample file")
+
+    it = prefetch_to_device(bad_iterator())
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt sample file"):
+        next(it)
+
+
+def test_stats_active_variables_no_double_filter(tmp_path):
+    """Computed stats are already in active-variable space (the dataset slices
+    x at load); they must be cached per-selection and NOT re-indexed. The
+    reference re-indexes its equally-pre-sliced stats (stat.py:283-286) — a
+    latent bug that only works for prefix selections; not replicated."""
+    import dataclasses
+
+    root = str(tmp_path)
+    processed = os.path.join(root, "processed")
+    os.makedirs(processed)
+    rng = np.random.default_rng(0)
+    names = [f"s{i}" for i in range(4)]
+    for name in names:
+        save_sample(os.path.join(processed, name + ".npz"),
+                    {"pos": rng.uniform(-1, 1, (50, 3)).astype(np.float32),
+                     "x": rng.normal(size=(50, 2)).astype(np.float32)})
+    with open(os.path.join(root, "order_processed.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    cfg = DatasetConfig(name="avt", metaname="synthetic/unit_cube",
+                        base_path=root, processed_folder="processed",
+                        train_size=2, val_size=1, test_size=1)
+    full = compute_or_load_stats(cfg, MeshDataset(cfg, "train"))
+    av = [1]  # NON-prefix selection: crashes under double-filtering
+    cfg_av = dataclasses.replace(cfg, active_variables=av)
+    stats = compute_or_load_stats(cfg_av, MeshDataset(cfg_av, "train"))
+    assert stats["mean"].shape == (1,)
+    np.testing.assert_allclose(stats["mean"], full["mean"][av], rtol=1e-6)
+    # the selection-keyed cache must not collide with the full-width one
+    import glob
+
+    assert glob.glob(os.path.join(root, "*_av1.json"))
