@@ -73,9 +73,15 @@ def effective_chunk(N: int, chunk) -> int:
     if chunk is None or chunk >= N:
         return N
     c = int(chunk)
-    while c > 1 and N % c != 0:
-        c //= 2
-    return c if c > 1 and N % c == 0 else N
+    if N % c == 0:
+        return c
+    # largest divisor of N that is <= chunk (always exists: 1). Halving alone
+    # can bottom out with no divisor (e.g. chunk 48000 against N=2^19) and an
+    # N fallback would be the exact transient-HBM blowup this guards against.
+    for d in range(c, 0, -1):
+        if N % d == 0:
+            return d
+    return N  # unreachable (d=1 divides)
 
 
 def reshape_chunks(x: jnp.ndarray, chunk: int) -> Tuple[jnp.ndarray, int]:

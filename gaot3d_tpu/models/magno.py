@@ -162,6 +162,9 @@ def parse_remat(remat) -> Tuple[bool, bool]:
     """(encoder, decoder) remat flags from a scalar or pair (the config's
     scalar-or-pair polymorphism, like neighbor_strategy/use_geoembed)."""
     if isinstance(remat, (list, tuple)):
+        if len(remat) != 2:
+            raise ValueError(
+                f"remat must be a bool or a [encoder, decoder] pair, got {remat}")
         return bool(remat[0]), bool(remat[1])
     return bool(remat), bool(remat)
 
@@ -190,7 +193,8 @@ def apply_edge_sampling(
         if direction == "encoder":
             slots = EdgeSlots(*jax.vmap(
                 lambda s_lat, s_mask: cap_per_query_scatter(
-                    EdgeSlots(s_lat, s_mask), cfg.max_radius_neighbors
+                    EdgeSlots(s_lat, s_mask), cfg.max_radius_neighbors,
+                    num_segments=num_latent,
                 )
             )(slots.lat_idx, slots.mask))
         else:
@@ -209,7 +213,9 @@ def apply_edge_sampling(
         sub = rng if rng is not None else None
         if direction == "encoder":
             def cap_one(s_lat, s_mask, r):
-                return cap_per_query_scatter(EdgeSlots(s_lat, s_mask), cfg.max_neighbors, rng=r)
+                return cap_per_query_scatter(EdgeSlots(s_lat, s_mask),
+                                             cfg.max_neighbors, rng=r,
+                                             num_segments=num_latent)
             rngs = (
                 jax.random.split(sub, slots.mask.shape[0]) if sub is not None else None
             )
@@ -320,6 +326,10 @@ class MAGNOEncoder(nn.Module):
         if cfg.use_gno and use_geo:
             recovery = TorchLinear(C)
 
+        # scale-independent lifting: hoisted out of the per-scale loop (the
+        # loop traced an identical Dense per scale and relied on XLA CSE)
+        lifted_pts = lifting(point_feats) if cfg.use_gno else None
+
         encoded_scales = []
         for scale_idx, scale in enumerate(cfg.scales):
             radius = cfg.gno_radius * scale
@@ -364,8 +374,7 @@ class MAGNOEncoder(nn.Module):
             # fused fast path: GNO + statistical geoembed share one chunked
             # scan with one segment reduction per pass (see fused_encoder.py)
             if use_fused:
-                lifted = lifting(point_feats) if cfg.use_gno else None
-                encoded_gno, geo = fused(slots, point_pos, lifted, latent_pos)
+                encoded_gno, geo = fused(slots, point_pos, lifted_pts, latent_pos)
                 if encoded_gno is not None:
                     combined = jnp.concatenate([encoded_gno, geo], axis=-1)
                     encoded = recovery(combined)  # recovery MLP
@@ -376,8 +385,8 @@ class MAGNOEncoder(nn.Module):
 
             encoded_gno = None
             if cfg.use_gno:
-                lifted = lifting(point_feats)  # [B, N, C]
-                encoded_gno = gno(slots, point_pos, latent_pos, lifted, direction="encoder")
+                encoded_gno = gno(slots, point_pos, latent_pos, lifted_pts,
+                                  direction="encoder")
 
             geo = None
             if use_geo:

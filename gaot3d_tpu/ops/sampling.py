@@ -23,13 +23,25 @@ def dropout_edges(slots: EdgeSlots, rate: float, rng: jax.Array) -> EdgeSlots:
     return EdgeSlots(lat_idx=slots.lat_idx, mask=slots.mask & keep)
 
 
-def _rank_within_segment(seg_ids: jnp.ndarray, mask: jnp.ndarray, order_key: jnp.ndarray) -> jnp.ndarray:
+def _rank_within_segment(seg_ids: jnp.ndarray, mask: jnp.ndarray,
+                         order_key: jnp.ndarray,
+                         num_segments: Optional[int] = None) -> jnp.ndarray:
     """Rank of each edge within its segment, ordered by `order_key` (flat arrays).
 
     Invalid edges get a rank of E (never kept). Sort-based; O(E log E).
+
+    num_segments: exclusive upper bound on REAL segment ids — the invalid-edge
+    sentinel must exceed every real id. The edge count E is NOT a valid
+    sentinel: with few points against a large latent grid (E = N*K < M), a
+    real latent token id equal to E would share the sentinel's sort group and
+    its edges would be spuriously capped. Falls back to max(seg)+1 when the
+    bound isn't supplied.
     """
     E = seg_ids.shape[0]
-    big = jnp.asarray(E, seg_ids.dtype)
+    if num_segments is not None:
+        big = jnp.asarray(num_segments, seg_ids.dtype)
+    else:
+        big = jnp.max(seg_ids) + 1
     keyed_seg = jnp.where(mask, seg_ids, big)
     # lexicographic sort by (segment, order_key)
     perm = jnp.lexsort((order_key, keyed_seg))
@@ -47,12 +59,14 @@ def cap_per_query_scatter(
     slots: EdgeSlots,
     cap: int,
     rng: Optional[jax.Array] = None,
+    num_segments: Optional[int] = None,
 ) -> EdgeSlots:
     """Keep at most `cap` edges per *latent* query (scatter/encoder side).
 
     rng=None keeps the first `cap` in slot order (deterministic, mirrors PyG
     radius' max_num_neighbors truncation); with rng, keeps a uniform random
     subset (the reference 'max_neighbors' strategy, magno.py:330-357).
+    num_segments: the latent token count (see _rank_within_segment).
     """
     shape = slots.mask.shape
     seg = slots.lat_idx.reshape(-1)
@@ -61,7 +75,7 @@ def cap_per_query_scatter(
         key = jnp.arange(seg.shape[0], dtype=jnp.int32)
     else:
         key = jax.random.uniform(rng, (seg.shape[0],))
-    rank = _rank_within_segment(seg, mask, key)
+    rank = _rank_within_segment(seg, mask, key, num_segments=num_segments)
     new_mask = mask & (rank < cap)
     return EdgeSlots(lat_idx=slots.lat_idx, mask=new_mask.reshape(shape))
 

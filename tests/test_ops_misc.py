@@ -104,3 +104,50 @@ def test_pallas_prefix_sum_interpret():
     got = prefix_sum(x, block_rows=1024, interpret=True)
     want = jnp.cumsum(x, axis=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3)
+
+
+def test_cap_per_query_scatter_sentinel_no_collision():
+    """Regression: with FEW edges against a LARGE latent grid (E < M), the
+    invalid-edge sentinel used to be E — colliding with real latent token id
+    E, whose edges were then spuriously capped. A query with <= cap neighbors
+    must keep ALL of them regardless of its token id."""
+    import numpy as np
+
+    from gaot3d_tpu.ops.grid_graph import EdgeSlots
+
+    E_tokens = 8  # edges per point
+    N = 4
+    E = N * E_tokens  # 32 edges total; token ids range far above E
+    lat_idx = np.zeros((N, E_tokens), np.int32)
+    mask = np.zeros((N, E_tokens), bool)
+    # token id EXACTLY E (=32): 2 valid edges, plus many invalid slots that
+    # share the old sentinel key
+    lat_idx[0, 0] = E
+    lat_idx[1, 0] = E
+    mask[0, 0] = True
+    mask[1, 0] = True
+    # another token with 3 edges to keep the sort non-trivial
+    lat_idx[2, :3] = 1000
+    mask[2, :3] = True
+    slots = EdgeSlots(jnp.asarray(lat_idx), jnp.asarray(mask))
+    capped = cap_per_query_scatter(slots, cap=2, num_segments=131072)
+    got = np.asarray(capped.mask)
+    assert got[0, 0] and got[1, 0], "edges of token id == E were dropped"
+    assert got[2, :3].sum() == 2  # the cap itself still applies
+    # the max(seg)+1 fallback (no num_segments) must also be collision-free
+    capped2 = cap_per_query_scatter(slots, cap=2)
+    got2 = np.asarray(capped2.mask)
+    assert got2[0, 0] and got2[1, 0]
+
+
+def test_effective_chunk_non_power_divisor():
+    """Regression: a chunk whose halvings never divide N used to fall back to
+    FULL N (the transient-HBM blowup chunking exists to prevent); now the
+    largest divisor of N <= chunk is chosen."""
+    from gaot3d_tpu.models.integral_transform import effective_chunk
+
+    assert effective_chunk(1 << 19, 48000) == 1 << 15  # largest 2^k <= 48000
+    assert effective_chunk(1 << 19, 65536) == 65536  # exact divisor unchanged
+    assert effective_chunk(100, 7) == 5
+    assert effective_chunk(97, 13) == 1  # prime N: only the trivial divisor
+    assert effective_chunk(64, None) == 64
