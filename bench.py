@@ -192,6 +192,33 @@ def main():
     # VERDICT.md round-2 item 1). Env JAX_PLATFORMS cannot override the
     # pinned axon platform; jax.config can.
     plat = os.environ.get("BENCH_PLATFORM")
+    tunnel_down = False
+    if not plat:
+        # TUNNEL GUARD: the axon relay daemon can die (observed 2026-08-17),
+        # after which jax.devices() hangs forever and the driver's bench run
+        # would time out with no record at all. Probe device init in a
+        # subprocess with a hard timeout; if the tunnel is dead, fall back to
+        # an honestly-labelled CPU smoke run (tunnel_down=true, vs_baseline
+        # null) so the round still produces a parseable JSON line.
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=float(os.environ.get("BENCH_TUNNEL_PROBE_S", "150")),
+                check=True,
+                capture_output=True,
+            )
+        except Exception as e:
+            print(f"# TPU tunnel probe failed ({type(e).__name__}); "
+                  "falling back to CPU smoke mode")
+            tunnel_down = True
+            plat = "cpu"
+            for k, v in (("BENCH_NODES", "2048"), ("BENCH_CHUNK", "1024"),
+                         ("BENCH_LATENT", "8,8,8"), ("BENCH_STEPS", "2"),
+                         ("BENCH_EVAL", "0")):
+                os.environ.setdefault(k, v)
     if plat:
         jax.config.update("jax_platforms", plat)
 
@@ -528,6 +555,14 @@ def main():
         "edge_layout": os.environ.get("BENCH_EDGE_LAYOUT", "slots"),
         "platform": jax.devices()[0].platform,
     }
+    if tunnel_down:
+        # an honest degraded record: the CPU smoke number is NOT comparable
+        # to the TPU baseline, so vs_baseline is null and the metric is
+        # suffixed; the last driver-captured TPU value lives in BENCH_r02/
+        # CLAUDE.md bench history.
+        result["metric"] += "_CPU_SMOKE_TUNNEL_DOWN"
+        result["vs_baseline"] = None
+        result["tunnel_down"] = True
     if device_step is not None:
         # profiling itself wrecks WALL time through the axon tunnel (500K:
         # 64s/step profiled vs 0.62s unprofiled, while device_step_time read
