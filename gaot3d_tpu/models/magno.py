@@ -102,6 +102,9 @@ class MAGNOConfig:
     # SIGABRTs the backend instead — never use those). It is an EXACTNESS
     # option: measured 0.90s vs 0.62s device step at 500K nodes (the unrolled
     # exact-f32 VPU matmuls cost ~46%), so 'xla' stays the perf default.
+    # CAVEAT: the kernel's custom VJP returns ZERO cotangents for point
+    # coordinates (nothing in GAOT-3D differentiates positions); do not use
+    # 'pallas' for geometry optimization (ops/pallas_encoder.py bwd).
     # LIMITATION: the Pallas kernel's custom VJP returns ZERO cotangents for
     # point positions (they are data here; nothing in the framework
     # differentiates coordinates) — do not enable it for geometry

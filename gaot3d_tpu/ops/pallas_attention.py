@@ -82,12 +82,17 @@ def _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
+        # q arrives PRESCALED by `scale` (folded in by the impl wrappers):
+        # multiplying [S, D] once outside the kernel removes a full [bq, bk]
+        # VPU multiply per tile from this kernel and both backward kernels
+        # (the attention kernels are VPU-bound on [bq, bk] elementwise ops
+        # at D=32 — see CLAUDE.md round-3 backward breakdown)
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         if kv_tail:
             s = jnp.where(_kv_col_mask(ik, block_k, seq_k), s, -jnp.inf)
         m_prev = m_scr[...]
@@ -142,6 +147,9 @@ def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng,
         def _init():
             dq_scr[...] = jnp.zeros_like(dq_scr)
 
+        # q is prescaled by `scale` (see _make_fwd_kernel); s needs no
+        # per-element multiply. dq = scale * (ds @ k) still needs the factor
+        # (it is d/dq of the UNSCALED q), applied on the cheap [bq, D] block.
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
@@ -150,7 +158,7 @@ def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng,
         delta = dl_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         p = jnp.exp(s - lse)
         if kv_tail:
             p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
@@ -205,9 +213,11 @@ def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng
         do = do_ref[0]
         lse = lse_ref[0]
         delta = dl_ref[0]
+        # q prescaled by `scale`: s needs no [bq, bk] multiply, and
+        # dk = scale * (ds^T @ q) picks the factor up from q itself.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         p = jnp.exp(s - lse)
         if kv_tail:
             p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
@@ -223,10 +233,11 @@ def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng
                 )
             else:
                 bits = bits_ref[0, 0, 0]
-            keep = _bits_to_keep(bits, rate)
-            inv = 1.0 / (1.0 - rate)
-            pm = jnp.where(keep, p * inv, 0.0)
-            dpv = jnp.where(keep, dpv * inv, 0.0)
+            # one select, two multiplies (vs two of each): the selected
+            # multiplier km is shared by pm and dpv
+            km = jnp.where(_bits_to_keep(bits, rate), 1.0 / (1.0 - rate), 0.0)
+            pm = p * km
+            dpv = dpv * km
         else:
             pm = p
         dv_scr[...] += jax.lax.dot_general(
@@ -237,7 +248,7 @@ def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
 
         @pl.when(iq == n_q - 1)
         def _finish():
@@ -284,9 +295,11 @@ def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_r
         do = do_ref[0]
         lse = lse_ref[0]
         delta = dl_ref[0]
+        # q prescaled by `scale` (folded in by _flash_bwd_impl): no [bq, bk]
+        # multiply for s, and dk = ds^T @ q_scaled already carries the factor
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         p = jnp.exp(s - lse)
         if kv_tail:
             p = jnp.where(_kv_col_mask(ik, block_k, seq_k), p, 0.0)
@@ -302,10 +315,11 @@ def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_r
                 )
             else:
                 bits = bits_ref[0, 0, 0]
-            keep = _bits_to_keep(bits, rate)
-            inv = 1.0 / (1.0 - rate)
-            pm = jnp.where(keep, p * inv, 0.0)
-            dpv = jnp.where(keep, dpv * inv, 0.0)
+            # one select, two multiplies (vs two of each): the selected
+            # multiplier km is shared by pm and dpv
+            km = jnp.where(_bits_to_keep(bits, rate), 1.0 / (1.0 - rate), 0.0)
+            pm = p * km
+            dpv = dpv * km
         else:
             pm = p
         ds = p * (dpv - delta)
@@ -321,7 +335,7 @@ def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_r
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
 
         @pl.when(iq == n_q - 1)
         def _finish_dkv():
@@ -352,13 +366,17 @@ def _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret):
     Skv = k.shape[2]
     BH = B * H
     use_rng = bits is None
-    qp = _pad_to(q.reshape(BH, S, D), block_q, 1)
+    scale = 1.0 / (D ** 0.5)
+    # fold the softmax scale into q ONCE on [S, D] (f32 multiply, cast back):
+    # the kernels then skip a full [bq, bk] VPU multiply per tile in the
+    # forward AND both backward passes (they are VPU-bound at D=32)
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = _pad_to(qs.reshape(BH, S, D), block_q, 1)
     kp = _pad_to(k.reshape(BH, Skv, D), block_k, 1)
     vp = _pad_to(v.reshape(BH, Skv, D), block_k, 1)
     Sq, Sk = qp.shape[1], kp.shape[1]
     n_q, n_k = Sq // block_q, Sk // block_k
     kv_tail = Sk != Skv
-    scale = 1.0 / (D ** 0.5)
 
     kern = _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -406,7 +424,12 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
     use_rng = bits is None
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B,H,S]
 
-    qp = _pad_to(q.reshape(BH, S, D), block_q, 1)
+    scale = 1.0 / (D ** 0.5)
+    # same scale-folding as the forward: the bwd kernels recompute
+    # s = q_scaled @ k^T with no per-element multiply, and dk inherits the
+    # factor from q_scaled (dq applies it explicitly on [bq, D])
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = _pad_to(qs.reshape(BH, S, D), block_q, 1)
     dop = _pad_to(do.reshape(BH, S, D), block_q, 1)
     # padded q rows: lse=+big makes p = exp(s - big) = 0 -> no contribution
     lsep = _pad_to(lse.reshape(BH, S), block_q, 1)
@@ -421,7 +444,6 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
     Sq, Sk = qp.shape[1], kp.shape[1]
     n_q, n_k = Sq // block_q, Sk // block_k
     kv_tail = Sk != Skv
-    scale = 1.0 / (D ** 0.5)
 
     def specs(extra):
         base = [pl.BlockSpec(memory_space=pltpu.SMEM)]
