@@ -103,3 +103,40 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.05
     )
+
+@pytest.mark.parametrize("rate", [0.0, 0.25])
+def test_split_bwd_matches_fused(rate, monkeypatch):
+    """The split dq/dkv kernels (taken when the per-head dq exceeds the fused
+    kernel's VMEM budget, _flash_bwd_impl) must produce the same grads as the
+    fused single-pass default — every test shape fits VMEM, so without the
+    env toggle the split path would ship untested."""
+    bq = bk = 64
+    S, Skv = 192, 160
+    q, k, v = _mk(S=S, Skv=Skv, seed=7)
+    bits = _mk_bits(1, 2, S, Skv, bq, bk, seed=8) if rate > 0 else None
+    do = jnp.asarray(np.random.default_rng(9).normal(size=q.shape), jnp.float32)
+
+    def f(q, k, v):
+        out = flash_attention_dropout(
+            q, k, v, dropout_rate=rate, dropout_bits=bits,
+            block_q=bq, block_k=bk, interpret=True,
+        )
+        return jnp.vdot(out, do)
+
+    monkeypatch.setenv("GAOT_ATTN_BWD_FUSED", "0")
+    g_split = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("GAOT_ATTN_BWD_FUSED", "1")
+    g_fused = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(
+        lambda q, k, v: jnp.vdot(_dense_oracle(q, k, v, bits, rate, bq, bk), do),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for s, fz, o, name in zip(g_split, g_fused, g_oracle, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(fz), rtol=1e-5, atol=1e-5,
+            err_msg=f"d{name} split vs fused",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(o), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} split vs oracle",
+        )
