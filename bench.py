@@ -325,7 +325,16 @@ def main():
     # them. BENCH_PRECOMPUTED=0 measures the online on-device build instead.
     enc_slots = dec_slots = None
     precomputed = os.environ.get("BENCH_PRECOMPUTED", "1") == "1"
-    if not precomputed and os.environ.get("BENCH_EDGE_LAYOUT", "slots") == "flat":
+    # BENCH_EDGE_LAYOUT: 'slots' | 'flat' | 'enc,dec' pair (per-side layout,
+    # MAGNOConfig.edge_layout scalar-or-pair — e.g. 'flat,slots' is the
+    # measured-optimal INFERENCE mix: flat encoder, slotted decoder)
+    from gaot3d_tpu.models.magno import parse_edge_layout
+
+    layout_env = os.environ.get("BENCH_EDGE_LAYOUT", "slots")
+    enc_layout, dec_layout = parse_edge_layout(
+        layout_env.split(",") if "," in layout_env else layout_env
+    )
+    if not precomputed and "flat" in (enc_layout, dec_layout):
         # refuse rather than silently record a slotted device-build run under
         # the flat label (the round-2 failure class: a bench leg measuring
         # something other than what its name claims)
@@ -368,26 +377,30 @@ def main():
         # same radius, bidirectional strategy both ways)
         enc_slots = [slots]
         dec_slots = [slots]
-        # BENCH_EDGE_LAYOUT=flat: per-chunk compacted edge lists — drops the
-        # ~52% masked slots that still pay scatter/gather rows and kernel-MLP
-        # flops in the [N, K] layout (tools/microbench_flat.py: encoder pass
-        # 2.15x fwd / 1.63x fwd+bwd, decoder 1.43x fwd+bwd)
-        if os.environ.get("BENCH_EDGE_LAYOUT", "slots") == "flat":
+        # flat layout: per-chunk compacted edge lists — drops the ~52% masked
+        # slots that still pay scatter/gather rows and kernel-MLP flops in the
+        # [N, K] layout (tools/microbench_flat.py: encoder pass 2.15x fwd /
+        # 1.63x fwd+bwd, decoder 1.43x fwd+bwd but 1.29x SLOWER fwd — hence
+        # the per-side pair support above)
+        if "flat" in (enc_layout, dec_layout):
             from gaot3d_tpu.models.integral_transform import effective_chunk
             from gaot3d_tpu.ops.grid_graph import flatten_slots_host_batched
 
             chunk = effective_chunk(N, magno.edge_chunk_size)
-            # BENCH_FLAT_ORDER=dst: encoder lists sorted by latent cell ->
-            # presorted-fold reduce (magno.flat_order, set above)
-            flat = flatten_slots_host_batched(
-                np.stack(lats), np.stack(msks), chunk, order=magno.flat_order
-            )
-            enc_slots = [flat]
-            dec_slots = (
-                [flat]
-                if magno.flat_order == "src"
-                else [flatten_slots_host_batched(np.stack(lats), np.stack(msks), chunk)]
-            )
+            if enc_layout == "flat":
+                # BENCH_FLAT_ORDER=dst: encoder lists sorted by latent cell ->
+                # presorted-fold reduce (magno.flat_order, set above)
+                enc_slots = [flatten_slots_host_batched(
+                    np.stack(lats), np.stack(msks), chunk, order=magno.flat_order
+                )]
+            if dec_layout == "flat":
+                # decoder lists are always src-sorted (fold-by-node invariant)
+                dec_slots = (
+                    list(enc_slots)
+                    if enc_layout == "flat" and magno.flat_order == "src"
+                    else [flatten_slots_host_batched(
+                        np.stack(lats), np.stack(msks), chunk)]
+                )
 
     checks = {} if fast else _pallas_regression_checks()
 

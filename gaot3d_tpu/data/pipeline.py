@@ -117,7 +117,8 @@ class BatchLoader:
         slot_mode: str = "device",  # 'device' | 'async' | 'precomputed'
         slot_builder=None,  # callable(rescaled_pos)->dict for 'async'
         num_scales: int = 1,
-        edge_layout: str = "slots",  # 'slots' | 'flat' (MAGNOConfig.edge_layout)
+        edge_layout="slots",  # 'slots' | 'flat' | [enc, dec] pair
+        # (MAGNOConfig.edge_layout scalar-or-pair polymorphism)
         edge_chunk_size: Optional[int] = None,  # model chunking (flat layout)
         flat_order: str = "src",  # encoder flat ordering (MAGNOConfig.flat_order)
         flat_edges_per_chunk: int = 0,  # pinned E (MAGNOConfig.flat_edges_per_chunk)
@@ -137,14 +138,14 @@ class BatchLoader:
         self.slot_mode = slot_mode
         self.slot_builder = slot_builder
         self.num_scales = num_scales
-        self.edge_layout = edge_layout
+        from ..models.magno import parse_edge_layout
+
+        self.edge_layout = parse_edge_layout(edge_layout)  # (enc, dec)
         self.edge_chunk_size = edge_chunk_size
         self.flat_order = flat_order
         self.flat_edges_per_chunk = flat_edges_per_chunk
-        if edge_layout not in ("slots", "flat"):
-            raise ValueError(f"unknown edge_layout: {edge_layout}")
-        if edge_layout == "flat" and slot_mode == "device":
-            raise ValueError("edge_layout='flat' needs host-built slots "
+        if "flat" in self.edge_layout and slot_mode == "device":
+            raise ValueError("edge_layout 'flat' needs host-built slots "
                              "(slot_mode 'async' or 'precomputed')")
 
     def set_epoch(self, epoch: int) -> None:
@@ -231,30 +232,36 @@ class BatchLoader:
 
             enc_np = pad_slots_np("encoder")
             dec_np = pad_slots_np("decoder")
-            if self.edge_layout == "flat":
+
+            def to_flat(pairs, order):
                 # per-chunk compacted edge lists (FlatEdgeChunks): chunking
                 # must match the model's edge scan (effective_chunk)
                 from ..models.integral_transform import effective_chunk
                 from ..ops.grid_graph import flatten_slots_host_batched
 
                 chunk = effective_chunk(n_pad, self.edge_chunk_size)
-
-                def to_flat(pairs, order):
-                    return tuple(
-                        flatten_slots_host_batched(
-                            idx, msk, chunk, order=order,
-                            edges_per_chunk=self.flat_edges_per_chunk,
-                        )
-                        for idx, msk in pairs
+                return tuple(
+                    flatten_slots_host_batched(
+                        idx, msk, chunk, order=order,
+                        edges_per_chunk=self.flat_edges_per_chunk,
                     )
+                    for idx, msk in pairs
+                )
 
-                enc_slots = to_flat(enc_np, self.flat_order)
-                dec_slots = to_flat(dec_np, "src")  # decoder fold invariant
-            else:
-                enc_slots = tuple(
-                    EdgeSlots(jnp.asarray(i), jnp.asarray(m)) for i, m in enc_np)
-                dec_slots = tuple(
-                    EdgeSlots(jnp.asarray(i), jnp.asarray(m)) for i, m in dec_np)
+            def to_slots(pairs):
+                return tuple(
+                    EdgeSlots(jnp.asarray(i), jnp.asarray(m)) for i, m in pairs)
+
+            # layout per side (MAGNOConfig.edge_layout scalar-or-pair)
+            enc_layout, dec_layout = self.edge_layout
+            enc_slots = (
+                to_flat(enc_np, self.flat_order)
+                if enc_layout == "flat" else to_slots(enc_np)
+            )
+            dec_slots = (
+                to_flat(dec_np, "src")  # decoder fold invariant
+                if dec_layout == "flat" else to_slots(dec_np)
+            )
         return PointBatch(
             pos=jnp.asarray(pos),
             feats=jnp.asarray(feats),

@@ -102,9 +102,6 @@ class MAGNOConfig:
     # SIGABRTs the backend instead — never use those). It is an EXACTNESS
     # option: measured 0.90s vs 0.62s device step at 500K nodes (the unrolled
     # exact-f32 VPU matmuls cost ~46%), so 'xla' stays the perf default.
-    # CAVEAT: the kernel's custom VJP returns ZERO cotangents for point
-    # coordinates (nothing in GAOT-3D differentiates positions); do not use
-    # 'pallas' for geometry optimization (ops/pallas_encoder.py bwd).
     # LIMITATION: the Pallas kernel's custom VJP returns ZERO cotangents for
     # point positions (they are data here; nothing in the framework
     # differentiates coordinates) — do not enable it for geometry
@@ -138,16 +135,38 @@ class MAGNOConfig:
     # 'dst' over src-ordered lists produces WRONG results with no error. The
     # data pipeline and bench derive both sides from this one knob; only
     # hand-fed FlatEdgeChunks can mismatch.
-    edge_layout: str = "slots"  # precomputed-edge layout fed to the model:
+    edge_layout: Any = "slots"  # precomputed-edge layout fed to the model:
     # 'slots' ([N, K] stencil windows) | 'flat' (per-chunk compacted edge
     # lists, ops/grid_graph.py FlatEdgeChunks — drops the ~52% masked slots
     # from every scatter/gather row and kernel-MLP flop; requires the fused
     # encoder + GNO-only decoder and precomputed edges, no edge sampling;
     # numerically identical to 'slots' on the same edges, asserted by
-    # tests/test_flat_edges.py). The data pipeline converts stored slots to
-    # this layout at batch assembly. Node sharding: the [B, nc, E] chunk axis
-    # shards alongside the point axis (src indices are chunk-local), verified
-    # exact on the CPU mesh (tests/test_parallel.py).
+    # tests/test_flat_edges.py). Scalar-or-pair like neighbor_strategy:
+    # ['flat', 'slots'] selects the layout PER SIDE (encoder, decoder) — the
+    # measured optimum differs by direction (tools/microbench_flat.py: flat
+    # encoder 2.15x fwd / 1.63x fwd+bwd, but flat decoder 1.29x SLOWER fwd
+    # and 1.43x faster fwd+bwd, so inference wants flat enc + slotted dec
+    # while training wants flat both). The data pipeline converts stored
+    # slots per side at batch assembly. Node sharding: the [B, nc, E] chunk
+    # axis shards alongside the point axis (src indices are chunk-local),
+    # verified exact on the CPU mesh (tests/test_parallel.py).
+
+
+def parse_edge_layout(edge_layout: Union[str, List[str]]) -> Tuple[str, str]:
+    """scalar-or-pair -> (encoder, decoder) layout, each 'slots' | 'flat'
+    (same polymorphism as neighbor_strategy, reference magno.py:72-91)."""
+    if isinstance(edge_layout, str):
+        pair = (edge_layout, edge_layout)
+    elif isinstance(edge_layout, (list, tuple)) and len(edge_layout) == 2:
+        pair = (edge_layout[0], edge_layout[1])
+    else:
+        raise ValueError(
+            f"edge_layout must be str or list of length 2, got {edge_layout}"
+        )
+    for side in pair:
+        if side not in ("slots", "flat"):
+            raise ValueError(f"unknown edge_layout: {side!r}")
+    return pair
 
 
 def parse_neighbor_strategy(neighbor_strategy: Union[str, List[str]]) -> Tuple[str, str]:

@@ -523,7 +523,9 @@ class StaticTrainer3D(TrainerBase):
                             f"edges. Raise slot_budget to at least {deg}."
                         )
 
-        if magno_cfg.edge_layout == "flat":
+        from ..models.magno import parse_edge_layout
+
+        if "flat" in parse_edge_layout(magno_cfg.edge_layout):
             # flat edge lists need host-built slots and the fused model paths.
             # Node sharding works: flat leaves are [B, nc, E] and the chunk
             # axis shards alongside the point axis (each device holds its own

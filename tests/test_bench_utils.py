@@ -80,7 +80,9 @@ _SMOKE_ENV = {
     {"BENCH_EDGE_LAYOUT": "flat", "BENCH_FAST": "1", "BENCH_EVAL": "0"},
     {"BENCH_EDGE_LAYOUT": "flat", "BENCH_FLAT_ORDER": "dst",
      "BENCH_FAST": "1", "BENCH_EVAL": "0"},
-], ids=["driver_default_full", "flat_src", "flat_dst"])
+    # per-side pair (flat encoder + slotted decoder — the inference mix)
+    {"BENCH_EDGE_LAYOUT": "flat,slots", "BENCH_FAST": "1", "BENCH_EVAL": "0"},
+], ids=["driver_default_full", "flat_src", "flat_dst", "mixed_enc_flat"])
 def test_bench_smoke_leg(leg):
     env = {**os.environ, **_SMOKE_ENV, **leg}
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],

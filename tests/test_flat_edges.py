@@ -312,3 +312,52 @@ def test_flat_rejects_unsupported_configs():
     with pytest.raises(ValueError, match="edge sampling"):
         m_samp.apply(p_samp, pos, feats, mask,
                      encoder_slots=[flat], decoder_slots=[flat])
+
+
+def test_parse_edge_layout():
+    from gaot3d_tpu.models.magno import parse_edge_layout
+
+    assert parse_edge_layout("slots") == ("slots", "slots")
+    assert parse_edge_layout("flat") == ("flat", "flat")
+    assert parse_edge_layout(["flat", "slots"]) == ("flat", "slots")
+    assert parse_edge_layout(("slots", "flat")) == ("slots", "flat")
+    with pytest.raises(ValueError, match="unknown edge_layout"):
+        parse_edge_layout("dense")
+    with pytest.raises(ValueError, match="length 2"):
+        parse_edge_layout(["flat", "slots", "flat"])
+
+
+@pytest.mark.parametrize("enc_flat,dec_flat", [(True, False), (False, True)])
+def test_mixed_layout_matches_slotted(enc_flat, dec_flat):
+    """PER-SIDE layout mixing (edge_layout=[enc, dec] pair): flat on one side
+    and slots on the other must equal all-slotted in outputs AND grads — the
+    measured optimum differs by direction (flat encoder always wins; the
+    slotted decoder wins the forward), so inference serves ['flat','slots']."""
+    model = _flagship_model()
+    rng = np.random.default_rng(41)
+    B, N, chunk = 2, 64, 16
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    flat = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8
+    )
+    enc = [flat] if enc_flat else [slots]
+    dec = [flat] if dec_flat else [slots]
+
+    params = model.init({"params": jax.random.key(0)}, pos, feats, mask,
+                        encoder_slots=[slots], decoder_slots=[slots])
+
+    def loss(p, e, d):
+        pred = model.apply(p, pos, feats, mask, encoder_slots=e, decoder_slots=d)
+        return jnp.sum((pred - target) ** 2), pred
+
+    (l_s, out_s), g_s = jax.value_and_grad(loss, has_aux=True)(params, [slots], [slots])
+    (l_m, out_m), g_m = jax.value_and_grad(loss, has_aux=True)(params, enc, dec)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s), atol=5e-5)
+    np.testing.assert_allclose(float(l_m), float(l_s), rtol=1e-5)
+    chex.assert_trees_all_close(g_m, g_s, atol=2e-4, rtol=2e-4)

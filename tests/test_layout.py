@@ -70,12 +70,15 @@ def test_trainer_harvest_gated_by_size(tmp_path, monkeypatch):
 
     monkeypatch.setenv("GAOT_LAYOUT_HARMONIZE", "auto")
     trainer.train_step(batch)
-    assert trainer._batch_formats is False  # tiny batch -> gated off
+    # the cache is keyed by padded batch shape (batches of different n_pad
+    # need different formats); a tiny batch records False = gated off
+    key = trainer._format_key(batch)
+    assert trainer._batch_formats == {key: False}
 
     trainer2 = _make_trainer(tmp_path)
     monkeypatch.setenv("GAOT_LAYOUT_HARMONIZE", "always")
     trainer2.train_step(batch)
-    assert trainer2._batch_formats not in (None, False)
+    assert trainer2._batch_formats.get(key) not in (None, False)
     # harvested formats place a batch without error and train_step still runs
     b2 = trainer2._device_put_batch(batch)
     trainer2.train_step(b2)

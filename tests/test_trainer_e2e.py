@@ -87,6 +87,29 @@ def test_flat_edge_layout_async_smoke(tmp_path, monkeypatch):
     assert isinstance(batch.enc_slots[0], FlatEdgeChunks)
 
 
+def test_mixed_edge_layout_smoke(tmp_path, monkeypatch):
+    """edge_layout as an [encoder, decoder] pair: the loader converts each
+    side independently (flat encoder + slotted decoder here — the measured
+    inference optimum) and the model consumes the mix end to end."""
+    from gaot3d_tpu.ops.grid_graph import EdgeSlots, FlatEdgeChunks
+
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={
+            "optimizer": {"args": {"epoch": 2}},
+            "dataset": {"update_pt_files_with_edges": True},
+            "model": {"args": {"magno": {"edge_layout": ["flat", "slots"],
+                                         "edge_chunk_size": 256}}},
+        },
+    )
+    assert np.isfinite(result["best"]["loss"])
+    batch = next(iter(trainer.test_loader))
+    assert isinstance(batch.enc_slots[0], FlatEdgeChunks)
+    assert isinstance(batch.dec_slots[0], EdgeSlots)
+    metrics = trainer.test()
+    assert np.isfinite(metrics["MSE"])
+
+
 def test_flat_edge_layout_requires_host_slots(tmp_path):
     from gaot3d_tpu.config import RunConfig
     from gaot3d_tpu.train.trainer import StaticTrainer3D

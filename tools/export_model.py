@@ -40,8 +40,7 @@ def main():
                          "trace/serialize job; cpu avoids grabbing — or "
                          "hanging on — the TPU tunnel, and --platforms tpu "
                          "still cross-lowers for TPU serving)")
-    ap.add_argument("--edges", choices=["baked", "slots", "flat"],
-                    default="baked",
+    ap.add_argument("--edges", default="baked",
                     help="'baked' compiles the on-device edge build into the "
                          "artifact (self-contained, but pays the stencil "
                          "search per call); 'slots'/'flat' export the "
@@ -49,14 +48,26 @@ def main():
                          "(EdgeSlots / FlatEdgeChunks per scale, encoder "
                          "then decoder) become call-time args the deployment "
                          "builds host-side (ops.build_edge_slots_host / "
-                         "flatten_slots_host_batched). 'flat' requires "
-                         "magno.flat_edges_per_chunk pinned in the config "
-                         "(the artifact's edge shapes are static)")
+                         "flatten_slots_host_batched). An 'enc,dec' pair "
+                         "selects the layout per side — 'flat,slots' is the "
+                         "measured-optimal inference mix (flat encoder, "
+                         "slotted decoder; tools/microbench_flat.py). 'flat' "
+                         "requires magno.flat_edges_per_chunk pinned in the "
+                         "config (the artifact's edge shapes are static)")
     ap.add_argument("--in-channels", type=int, default=1,
                     help="encoder input feature width (the trainer infers "
                          "this from data; the export tool needs it explicit)")
     ap.add_argument("--out-channels", type=int, default=1)
     args = ap.parse_args()
+
+    if args.edges == "baked":
+        edge_pair = None
+    else:
+        from gaot3d_tpu.models.magno import parse_edge_layout
+
+        edge_pair = parse_edge_layout(
+            args.edges.split(",") if "," in args.edges else args.edges
+        )
 
     import jax
 
@@ -113,7 +124,10 @@ def main():
         mag = margs.magno
         enc_strat, dec_strat = parse_neighbor_strategy(mag.neighbor_strategy)
         structures = []
-        for direction, strat in (("encoder", enc_strat), ("decoder", dec_strat)):
+        for direction, strat, layout in (
+            ("encoder", enc_strat, edge_pair[0]),
+            ("decoder", dec_strat, edge_pair[1]),
+        ):
             per_scale = []
             for s in mag.scales:
                 lat, msk = build_edge_slots_host(
@@ -123,7 +137,7 @@ def main():
                 )
                 latB = np.broadcast_to(lat, (B,) + lat.shape)
                 mskB = np.broadcast_to(msk, (B,) + msk.shape)
-                if args.edges == "flat":
+                if layout == "flat":
                     if not mag.flat_edges_per_chunk:
                         raise SystemExit(
                             "--edges flat needs magno.flat_edges_per_chunk "
