@@ -32,6 +32,19 @@ run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
 run flat_src_128k BENCH_EDGE_LAYOUT=flat BENCH_CHUNK=131072
 run flat_dst_128k BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst BENCH_CHUNK=131072
 
+# INFERENCE legs (microbench says the optimum differs by direction: flat
+# encoder + slotted decoder should win eval) — wall-timed eval, 2 steps of
+# train just to reuse the program; inference_sps is the number to read
+echo "=== eval legs (inference_sps; higher is better) ==="
+for leg in "eval_slots " "eval_flat BENCH_EDGE_LAYOUT=flat" \
+           "eval_mixed BENCH_EDGE_LAYOUT=flat,slots"; do
+  name="${leg%% *}"; envs="${leg#* }"
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  env $envs BENCH_STEPS=2 BENCH_EVAL=1 \
+    timeout 3600 python bench.py > "/tmp/ab_${name}.log" 2>&1
+  echo "rc=$? $(grep -o '"inference_sps": [0-9.]*' "/tmp/ab_${name}.log")"
+done
+
 echo "=== summary (device_step_time_s per leg; lower is better) ==="
 for f in /tmp/ab_baseline_slots.log /tmp/ab_flat_src.log /tmp/ab_flat_dst.log \
          /tmp/ab_flat_src_128k.log /tmp/ab_flat_dst_128k.log; do
