@@ -665,6 +665,140 @@ def test_adamw_20step_mix_schedule_trajectory_parity():
     assert j_losses[-1] < j_losses[0]
 
 
+def test_convergence_head_to_head_learnable_target():
+    """END-STATE accuracy comparison: both frameworks train the same tiny
+    GAOT-3D from the same torch init on the same LEARNABLE target (a smooth
+    function of the coordinates) with the reference recipe (AdamW + 'mix'
+    schedule, reference optimizers.py:40-67,227-229) for 300 epochs. Unlike
+    the 20-step trajectory test above (pointwise f32-drift bound — which MUST
+    loosen as trajectories decorrelate), this asserts what the README's
+    leaderboard measures (BASELINE.md): the converged loss. Both sides must
+    cut the initial MSE by >20x and land within 1.6x of each other — the
+    closest executable analogue of the 1%-MSE north star without the
+    DrivAerNet dataset. OUR side runs the flagship fast paths (fused
+    encoder+decoder), so this also pins that the fused paths don't degrade
+    optimization, not just the forward."""
+    import optax
+
+    import src.trainer.optimizers as ref_opt
+    from gaot3d_tpu.train.schedule import mix_phase_lengths
+
+    n = 300
+    rng = np.random.default_rng(31)
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    # informative features + a smooth coordinate-dependent target: the model
+    # can actually fit this (a pure-noise target only measures the mean)
+    feats = np.stack([np.sin(np.pi * pos[:, 0]), pos[:, 1] * pos[:, 2]], 1)
+    feats = feats.astype(np.float32)
+    target = (
+        np.sin(2 * np.pi * pos[:, :1]) * np.cos(np.pi * pos[:, 1:2])
+        + 0.5 * pos[:, 2:3] ** 2
+        + 0.3 * feats[:, :1]
+    ).astype(np.float32)
+    epochs, lr0, max_lr, min_lr, final_lr = 300, 1e-3, 1e-2, 1e-5, 1e-5
+
+    # --- torch side -------------------------------------------------------
+    torch.manual_seed(7)
+    r_magno, r_attn = make_ref_configs("absolute")
+    tm = ref_gaot.GAOT3D(2, 1, r_magno, r_attn, latent_tokens=(4, 4, 4))
+    slots = build_slots(pos)
+    batch = RefBatch(
+        pos=torch.as_tensor(pos), x=torch.as_tensor(feats),
+        batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
+        encoder_edge_index_s0=slots_to_edge_index(slots, "encoder"),
+        decoder_edge_index_s0=slots_to_edge_index(slots, "decoder"),
+    )
+    tm.train()
+    jparams = gaot_params_from_ref(
+        {k: v.clone() for k, v in tm.state_dict().items()}, 3
+    )
+    opt = torch.optim.AdamW(tm.parameters(), lr=lr0, weight_decay=1e-4,
+                            betas=(0.9, 0.999), eps=1e-8)
+    warm, cos_e, exp_e = mix_phase_lengths(epochs, 0.90)
+    sched = ref_opt.CustomLRScheduler(
+        opt, epochs, warm, cos_e, exp_e, lr0, max_lr, min_lr, final_lr
+    )
+    tgt_t = torch.as_tensor(target)
+    t_init = float(torch.nn.functional.mse_loss(tm(batch), tgt_t).detach())
+    for _ in range(epochs):
+        opt.zero_grad()
+        loss = torch.nn.functional.mse_loss(tm(batch), tgt_t)
+        loss.backward()
+        opt.step()
+        sched.step()
+    tm.eval()
+    with torch.no_grad():
+        t_final = float(torch.nn.functional.mse_loss(tm(batch), tgt_t))
+
+    # --- jax side: same init, fused fast paths ----------------------------
+    from gaot3d_tpu.train.schedule import OptimizerargsConfig, make_optimizer
+
+    o_magno, o_attn = make_our_configs("absolute")
+    o_magno.fused_encoder = True
+    o_magno.fused_decoder = True
+    jmodel = init_model(2, 1, "gaot_3d", o_magno, o_attn, latent_tokens=(4, 4, 4))
+
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(jparams["params"])
+    remapped = {}
+    for k, v in flat.items():
+        ks = list(k)
+        if "encoder" in ks and "IntegralTransform_0" in ks and ks[-1].startswith("kernel_"):
+            k = tuple(p.replace("IntegralTransform_0", "FusedEncoderScale_0") for p in ks)
+        elif "encoder" in ks and "GeometricEmbedding_0" in ks and ks[-1].startswith("mlp_"):
+            k = tuple(p.replace("GeometricEmbedding_0", "FusedEncoderScale_0")
+                      .replace("mlp_", "geo_") for p in ks)
+        elif "decoder" in ks and "IntegralTransform_0" in ks and ks[-1].startswith("kernel_"):
+            k = tuple(p.replace("IntegralTransform_0", "FusedDecoderScale_0") for p in ks)
+        elif "decoder" in ks and "GeometricEmbedding_0" in ks and ks[-1].startswith("mlp_"):
+            k = tuple(p.replace("GeometricEmbedding_0", "FusedDecoderScale_0")
+                      .replace("mlp_", "geo_") for p in ks)
+        remapped[tuple(k)] = v
+    jparams = {"params": tu.unflatten_dict(remapped)}
+
+    cfg = OptimizerargsConfig(lr=lr0, weight_decay=1e-4, epoch=epochs,
+                              scheduler="mix", max_lr=max_lr, min_lr=min_lr,
+                              final_lr=final_lr)
+    tx = make_optimizer("adamw", cfg, steps_per_epoch=1)
+    opt_state = tx.init(jparams)
+
+    eslots = [EdgeSlots(slots.lat_idx[None], slots.mask[None])]
+
+    def loss_fn(p):
+        pred = jmodel.apply(
+            p, jnp.asarray(pos)[None], jnp.asarray(feats)[None],
+            jnp.ones((1, n), bool), encoder_slots=eslots, decoder_slots=eslots,
+        )[0]
+        return jnp.mean((pred - jnp.asarray(target)) ** 2)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    j_init = float(loss_fn(jparams))
+    for _ in range(epochs):
+        jparams, opt_state, _ = step(jparams, opt_state)
+    j_final = float(loss_fn(jparams))
+
+    # same starting point (sanity: the transfer worked)
+    np.testing.assert_allclose(j_init, t_init, rtol=1e-4)
+    # both frameworks actually fit the target
+    assert t_final < t_init / 20, f"torch did not converge: {t_init} -> {t_final}"
+    assert j_final < j_init / 20, f"jax did not converge: {j_init} -> {j_final}"
+    # and land at the same quality (f32 trajectories decorrelate, so the
+    # end-state bound is a ratio, not pointwise: measured j/t ~= 1.0)
+    ratio = j_final / t_final
+    print(f"convergence head-to-head: torch {t_init:.4f}->{t_final:.3e}, "
+          f"jax {j_init:.4f}->{j_final:.3e}, ratio {ratio:.3f}")
+    assert 1 / 1.6 < ratio < 1.6, (
+        f"converged losses diverge: jax {j_final:.3e} vs torch {t_final:.3e} "
+        f"(ratio {ratio:.2f})"
+    )
+
+
 def test_checkpoint_import_tool(tmp_path):
     """End-to-end checkpoint migration: a reference-style `{name:
     state_dict}` torch save converts via tools/import_torch_ckpt's machinery
