@@ -32,6 +32,13 @@ run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
 run flat_src_128k BENCH_EDGE_LAYOUT=flat BENCH_CHUNK=131072
 run flat_dst_128k BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst BENCH_CHUNK=131072
 
+# Attention backward: split dq/dkv kernels vs the fused one (the fused bwd
+# is the default under the 2MB q-block heuristic; the 10 bwd pallas_calls are
+# 21% of total XLA-op time, so even a few % either way matters). One leg on
+# the winner-so-far layout would be ideal, but layout isn't decided yet —
+# measure on the driver-default slotted layout for a clean single-variable A/B
+run attn_bwd_split GAOT_ATTN_BWD_FUSED=0
+
 # INFERENCE legs (microbench says the optimum differs by direction: flat
 # encoder + slotted decoder should win eval) — wall-timed eval, 2 steps of
 # train just to reuse the program; inference_sps is the number to read
