@@ -155,8 +155,10 @@ def _pallas_regression_checks() -> dict:
         def loss(fn):
             return lambda q, k, v: jnp.vdot(fn(q, k, v), do)
 
+        # prng16=False pinned: the exported bits are the 32-bit stream; the
+        # 16-bit variant (GAOT_ATTN_PRNG16) is checked separately below
         f_rng = loss(lambda q, k, v: flash_attention_dropout(
-            q, k, v, key, 0.1, block_q=bq, block_k=bk))
+            q, k, v, key, 0.1, block_q=bq, block_k=bk, prng16=False))
         f_bits = loss(lambda q, k, v: flash_attention_dropout(
             q, k, v, dropout_rate=0.1, dropout_bits=bits, block_q=bq, block_k=bk))
         g_rng = jax.grad(f_rng, argnums=(0, 1, 2))(q, k, v)
@@ -179,6 +181,25 @@ def _pallas_regression_checks() -> dict:
         )
         assert grel < 2e-2, f"dropout kernel grads diverge from oracle: rel {grel}"
         out["dropout_attn_grad_rel_err"] = grel
+
+        if os.environ.get("GAOT_ATTN_PRNG16", "0") == "1":
+            # the 16-bit PRNG stream has no exported-bits twin; check the
+            # properties training depends on: fwd/bwd mask consistency (vjp
+            # dot-test vs a numeric directional derivative is overkill here —
+            # determinism across calls covers the replay contract since bwd
+            # reseeds identically), determinism, and the keep rate
+            f16 = lambda q, k, v: flash_attention_dropout(
+                q, k, v, key, 0.1, block_q=bq, block_k=bk, prng16=True)
+            o16a, o16b = f16(q, k, v), f16(q, k, v)
+            assert float(jnp.max(jnp.abs(o16a - o16b))) == 0.0, "prng16 nondeterministic"
+            ones = jnp.ones_like(q)
+            kept = flash_attention_dropout(
+                ones, jnp.zeros_like(k), jnp.ones_like(v), key, 0.1,
+                block_q=bq, block_k=bk, prng16=True)
+            # uniform attention over kept/(1-r)-scaled ones: mean ~= 1
+            krate = float(jnp.mean(kept))
+            assert abs(krate - 1.0) < 0.02, f"prng16 keep-rate off: {krate}"
+            out["prng16_mean"] = krate
     return out
 
 

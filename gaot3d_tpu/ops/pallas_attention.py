@@ -45,6 +45,32 @@ def _bits_to_keep(bits, rate: float):
     return bits >= thresh
 
 
+def _bits16_to_keep(bits16, rate: float):
+    # 16-bit variant: keep iff bits >= floor(rate * (2^16-1)). Quantizes the
+    # keep probability to 1/65536 (drop prob error < 1.6e-5 at rate 0.1).
+    thresh = np.uint16(min(max(rate, 0.0), 1.0) * 65535.0)
+    return bits16 >= thresh
+
+
+def _draw_keep(pltpu, rate: float, block_q: int, block_k: int, prng16: bool):
+    """Draw a [block_q, block_k] keep-mask from the in-core PRNG.
+
+    prng16 halves the PRNG word generation: draw [block_q//2, block_k] uint32
+    and bitcast to [block_q, block_k] uint16 (Mosaic bitcast between bitwidths
+    scales the second-minor dim), then threshold in 16 bits. The attention
+    kernels are VPU-bound on [bq, bk] elementwise work (CLAUDE.md round-3
+    profile) and the PRNG draw is the widest single [bq, bk] term, so this is
+    the main dropout-overhead lever. NOTE: the 16- and 32-bit masks are
+    DIFFERENT streams; fwd/bwd consistency holds because both read the same
+    static flag (custom_vjp static arg)."""
+    if prng16:
+        raw = pltpu.prng_random_bits((block_q // 2, block_k))
+        bits16 = pltpu.bitcast(raw, jnp.uint16)
+        return _bits16_to_keep(bits16, rate)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((block_q, block_k)), jnp.uint32)
+    return _bits_to_keep(bits, rate)
+
+
 def _kv_col_mask(ik, block_k, seq_k):
     col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     return col < seq_k
@@ -62,7 +88,8 @@ def _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k):
     pltpu.prng_seed(seed_ref[0] ^ h, seed_ref[1] + ctr)
 
 
-def _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+def _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail,
+                     prng16=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -106,12 +133,10 @@ def _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv
         if rate > 0.0:
             if use_rng:
                 _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
-                )
+                keep = _draw_keep(pltpu, rate, block_q, block_k, prng16)
             else:
-                bits = bits_ref[0, 0, 0]
-            pd = jnp.where(_bits_to_keep(bits, rate), p * (1.0 / (1.0 - rate)), 0.0)
+                keep = _bits_to_keep(bits_ref[0, 0, 0], rate)
+            pd = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
         else:
             pd = p
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
@@ -129,7 +154,8 @@ def _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv
     return kernel
 
 
-def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail,
+                        prng16=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -168,12 +194,10 @@ def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng,
         if rate > 0.0:
             if use_rng:
                 _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
-                )
+                keep = _draw_keep(pltpu, rate, block_q, block_k, prng16)
             else:
-                bits = bits_ref[0, 0, 0]
-            dpv = jnp.where(_bits_to_keep(bits, rate), dpv * (1.0 / (1.0 - rate)), 0.0)
+                keep = _bits_to_keep(bits_ref[0, 0, 0], rate)
+            dpv = jnp.where(keep, dpv * (1.0 / (1.0 - rate)), 0.0)
         ds = p * (dpv - delta)
         dq_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -187,7 +211,8 @@ def _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng,
     return kernel
 
 
-def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail,
+                         prng16=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -228,14 +253,12 @@ def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng
             if use_rng:
                 # same (seed, bh, iq, ik) counters as the forward -> same mask
                 _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
-                )
+                keep = _draw_keep(pltpu, rate, block_q, block_k, prng16)
             else:
-                bits = bits_ref[0, 0, 0]
+                keep = _bits_to_keep(bits_ref[0, 0, 0], rate)
             # one select, two multiplies (vs two of each): the selected
             # multiplier km is shared by pm and dpv
-            km = jnp.where(_bits_to_keep(bits, rate), 1.0 / (1.0 - rate), 0.0)
+            km = jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
             pm = p * km
             dpv = dpv * km
         else:
@@ -258,7 +281,8 @@ def _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng
     return kernel
 
 
-def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail):
+def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_rng, kv_tail,
+                           prng16=False):
     """Single-pass backward: dk/dv accumulate in VMEM scratch (kv-block outer
     loop), and the ENTIRE per-head dq lives in a [Sq, D] f32 VMEM scratch
     (dynamic-slice accumulation, written back once per head). The two-kernel
@@ -310,14 +334,12 @@ def _make_bwd_fused_kernel(scale, rate, block_q, block_k, n_q, n_k, seq_k, use_r
             if use_rng:
                 # same (seed, bh, iq, ik) counters as the forward -> same mask
                 _seed_block(pltpu, seed_ref, bh, iq, ik, n_q, n_k)
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((block_q, block_k)), jnp.uint32
-                )
+                keep = _draw_keep(pltpu, rate, block_q, block_k, prng16)
             else:
-                bits = bits_ref[0, 0, 0]
+                keep = _bits_to_keep(bits_ref[0, 0, 0], rate)
             # one select, two multiplies (vs two of each): the selected
             # multiplier km is shared by pm and dpv
-            km = jnp.where(_bits_to_keep(bits, rate), 1.0 / (1.0 - rate), 0.0)
+            km = jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
             pm = p * km
             dpv = dpv * km
         else:
@@ -358,7 +380,7 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths)
 
 
-def _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret):
+def _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret, prng16=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -378,7 +400,8 @@ def _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret):
     n_q, n_k = Sq // block_q, Sk // block_k
     kv_tail = Sk != Skv
 
-    kern = _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
+    kern = _make_fwd_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail,
+                            prng16)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [seed]
     if not use_rng:
@@ -414,7 +437,8 @@ def _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret):
     return out[:, :S].reshape(B, H, S, D), lse[:, :S, 0].reshape(B, H, S)
 
 
-def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, interpret):
+def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, interpret,
+                    prng16=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -459,7 +483,7 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
     # fused single-pass backward: the whole per-head dq must fit VMEM
     if Sq * D * 4 <= 4 * 1024 * 1024 and os.environ.get("GAOT_ATTN_BWD_FUSED", "1") == "1":
         fused_kern = _make_bwd_fused_kernel(
-            scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail
+            scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail, prng16
         )
         fused_inputs = [seed] + ([] if use_rng else [bits]) + [
             qp, kp, vp, dop, lsep, dlp,
@@ -503,7 +527,8 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
             dv[:, :Skv].reshape(B, H, Skv, D),
         )
 
-    dq_kern = _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
+    dq_kern = _make_bwd_dq_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng,
+                                  kv_tail, prng16)
     dq_inputs = [seed] + ([] if use_rng else [bits]) + [qp, kp, vp, dop, lsep, dlp]
     dq = pl.pallas_call(
         dq_kern,
@@ -522,7 +547,8 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
         interpret=interpret,
     )(*dq_inputs)
 
-    dkv_kern = _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng, kv_tail)
+    dkv_kern = _make_bwd_dkv_kernel(scale, rate, block_q, block_k, n_q, n_k, Skv, use_rng,
+                                    kv_tail, prng16)
     dkv_inputs = [seed] + ([] if use_rng else [bits]) + [qp, kp, vp, dop, lsep, dlp]
     dk, dv = pl.pallas_call(
         dkv_kern,
@@ -557,21 +583,21 @@ def _flash_bwd_impl(q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, i
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_dropout(q, k, v, seed, bits, rate, block_q, block_k, interpret):
-    out, _ = _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_dropout(q, k, v, seed, bits, rate, block_q, block_k, interpret, prng16):
+    out, _ = _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret, prng16)
     return out
 
 
-def _flash_dropout_fwd(q, k, v, seed, bits, rate, block_q, block_k, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret)
+def _flash_dropout_fwd(q, k, v, seed, bits, rate, block_q, block_k, interpret, prng16):
+    out, lse = _flash_fwd_impl(q, k, v, seed, bits, rate, block_q, block_k, interpret, prng16)
     return out, (q, k, v, seed, bits, out, lse)
 
 
-def _flash_dropout_bwd(rate, block_q, block_k, interpret, res, do):
+def _flash_dropout_bwd(rate, block_q, block_k, interpret, prng16, res, do):
     q, k, v, seed, bits, out, lse = res
     dq, dk, dv = _flash_bwd_impl(
-        q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, interpret
+        q, k, v, seed, bits, out, lse, do, rate, block_q, block_k, interpret, prng16
     )
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     dbits = None if bits is None else np.zeros(bits.shape, dtype=jax.dtypes.float0)
@@ -592,6 +618,7 @@ def flash_attention_dropout(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    prng16: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention with probability dropout. q,k,v: [B, H, S, D].
 
@@ -610,12 +637,21 @@ def flash_attention_dropout(
     is only reproducible under the same (block_q, block_k)."""
     if dropout_rate > 0.0 and rng is None and dropout_bits is None:
         raise ValueError("dropout needs an rng key or explicit bits")
+    if prng16 is None:
+        # 16-bit PRNG draws halve the in-core RNG generation per tile (the
+        # widest [bq, bk] VPU term of the dropout path); DIFFERENT mask
+        # stream than the default 32-bit draws, so opt-in via env until the
+        # on-chip A/B records a win (tools/microbench_attn.py)
+        prng16 = os.environ.get("GAOT_ATTN_PRNG16", "0") == "1"
+    prng16 = bool(prng16) and dropout_bits is None
+    if prng16 and block_q % 2:
+        raise ValueError("prng16 needs an even block_q (bitcast halves rows)")
     if rng is not None:
         seed = jax.random.key_data(rng).astype(jnp.int32).reshape(-1)[:2]
     else:
         seed = jnp.zeros((2,), jnp.int32)
     return _flash_dropout(
-        q, k, v, seed, dropout_bits, dropout_rate, block_q, block_k, interpret
+        q, k, v, seed, dropout_bits, dropout_rate, block_q, block_k, interpret, prng16
     )
 
 

@@ -140,3 +140,44 @@ def test_split_bwd_matches_fused(rate, monkeypatch):
             np.asarray(s), np.asarray(o), rtol=2e-3, atol=2e-3,
             err_msg=f"d{name} split vs oracle",
         )
+
+
+def test_prng16_plumbing():
+    """prng16 is a TPU-only mask-stream variant: with explicit bits it must
+    fall back to the (32-bit) bits path unchanged, at rate 0 it must be
+    inert, and odd block_q must be refused (the u32->u16 bitcast halves the
+    sublane dim)."""
+    bq = bk = 64
+    q, k, v = _mk(S=128, seed=3)
+    bits = _mk_bits(1, 2, 128, 128, bq, bk, seed=4)
+    base = flash_attention_dropout(
+        q, k, v, dropout_rate=0.1, dropout_bits=bits,
+        block_q=bq, block_k=bk, interpret=True,
+    )
+    with_flag = flash_attention_dropout(
+        q, k, v, dropout_rate=0.1, dropout_bits=bits,
+        block_q=bq, block_k=bk, interpret=True, prng16=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(with_flag))
+
+    r0a = flash_attention_dropout(q, k, v, block_q=bq, block_k=bk, interpret=True)
+    r0b = flash_attention_dropout(
+        q, k, v, block_q=bq, block_k=bk, interpret=True, prng16=True)
+    np.testing.assert_array_equal(np.asarray(r0a), np.asarray(r0b))
+
+    with pytest.raises(ValueError, match="even block_q"):
+        flash_attention_dropout(
+            q, k, v, rng=jax.random.key(0), dropout_rate=0.1,
+            block_q=63, block_k=bk, interpret=True, prng16=True,
+        )
+
+
+def test_bits16_keep_rule():
+    """The 16-bit threshold rule quantizes the keep probability to 1/65536."""
+    from gaot3d_tpu.ops.pallas_attention import _bits16_to_keep
+    bits = jnp.asarray(
+        np.random.default_rng(0).integers(0, 2**16, size=(1 << 16,), dtype=np.uint16))
+    keep = np.asarray(_bits16_to_keep(bits, 0.1))
+    want = np.asarray(bits) >= np.uint16(int(0.1 * 65535.0))
+    np.testing.assert_array_equal(keep, want)
+    assert abs(keep.mean() - 0.9) < 0.01
