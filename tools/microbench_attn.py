@@ -30,13 +30,16 @@ BLOCK_Q, BLOCK_K = 512, 1024
 
 def make_step(rate, prng16=False):
     def loss(q, k, v, key):
-        x = q
-        for i in range(LAYERS):
-            sub = jax.random.fold_in(key, i)
-            x = flash_attention_dropout(
+        # lax.scan over the layer axis: ONE kernel instance in the program
+        # (unrolled 10x the remote compile exceeded 25 minutes)
+        def body(x, sub):
+            return flash_attention_dropout(
                 x, k, v, rng=sub, dropout_rate=rate,
                 block_q=BLOCK_Q, block_k=BLOCK_K, prng16=prng16,
-            )
+            ), None
+
+        subs = jax.random.split(key, LAYERS)
+        x, _ = jax.lax.scan(body, q, subs)
         return jnp.sum(x * x)
 
     @jax.jit
@@ -49,7 +52,7 @@ def make_step(rate, prng16=False):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    key = jax.random.PRNGKey(0)
+    key = jax.random.key(0)
     q = jax.random.normal(key, (B, H, S, D), jnp.float32)
     k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, S, D), jnp.float32)
     v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, S, D), jnp.float32)
