@@ -182,24 +182,37 @@ def _pallas_regression_checks() -> dict:
         assert grel < 2e-2, f"dropout kernel grads diverge from oracle: rel {grel}"
         out["dropout_attn_grad_rel_err"] = grel
 
-        if os.environ.get("GAOT_ATTN_PRNG16", "0") == "1":
-            # the 16-bit PRNG stream has no exported-bits twin; check the
-            # properties training depends on: fwd/bwd mask consistency (vjp
-            # dot-test vs a numeric directional derivative is overkill here —
-            # determinism across calls covers the replay contract since bwd
-            # reseeds identically), determinism, and the keep rate
-            f16 = lambda q, k, v: flash_attention_dropout(
-                q, k, v, key, 0.1, block_q=bq, block_k=bk, prng16=True)
-            o16a, o16b = f16(q, k, v), f16(q, k, v)
-            assert float(jnp.max(jnp.abs(o16a - o16b))) == 0.0, "prng16 nondeterministic"
-            ones = jnp.ones_like(q)
-            kept = flash_attention_dropout(
-                ones, jnp.zeros_like(k), jnp.ones_like(v), key, 0.1,
-                block_q=bq, block_k=bk, prng16=True)
-            # uniform attention over kept/(1-r)-scaled ones: mean ~= 1
-            krate = float(jnp.mean(kept))
-            assert abs(krate - 1.0) < 0.02, f"prng16 keep-rate off: {krate}"
-            out["prng16_mean"] = krate
+        # 16-bit PRNG stream (prng16): no exported-bits twin exists, so check
+        # the properties training depends on — determinism, keep rate, and
+        # fwd/bwd mask CONSISTENCY via a vjp dot-test (gradient vs a central
+        # finite-difference directional derivative of the forward; the mask is
+        # input-independent so the FD sees the same fixed piecewise-smooth fn).
+        # Runs unconditionally on TPU (cheap) — ADVICE r3.
+        f16 = lambda q, k, v: flash_attention_dropout(
+            q, k, v, key, 0.1, block_q=bq, block_k=bk, prng16=True)
+        o16a, o16b = f16(q, k, v), f16(q, k, v)
+        assert float(jnp.max(jnp.abs(o16a - o16b))) == 0.0, "prng16 nondeterministic"
+        ones = jnp.ones_like(q)
+        kept = flash_attention_dropout(
+            ones, jnp.zeros_like(k), jnp.ones_like(v), key, 0.1,
+            block_q=bq, block_k=bk, prng16=True)
+        # uniform attention over kept/(1-r)-scaled ones: mean ~= 1
+        krate = float(jnp.mean(kept))
+        assert abs(krate - 1.0) < 0.02, f"prng16 keep-rate off: {krate}"
+        out["prng16_mean"] = krate
+        l16 = loss(f16)
+        g16 = jax.grad(l16, argnums=(0, 1, 2))(q, k, v)
+        dirs = tuple(jnp.asarray(rng.normal(size=a.shape), jnp.float32)
+                     for a in (q, k, v))
+        eps = 1e-2
+        plus = l16(*(a + eps * d for a, d in zip((q, k, v), dirs)))
+        minus = l16(*(a - eps * d for a, d in zip((q, k, v), dirs)))
+        fd = float(plus - minus) / (2 * eps)
+        an = float(sum(jnp.vdot(g, d) for g, d in zip(g16, dirs)))
+        vjp_rel = abs(fd - an) / max(abs(fd), 1e-6)
+        # TPU f32 matmuls are single-pass bf16 (CLAUDE.md) -> loose bound
+        assert vjp_rel < 5e-2, f"prng16 bwd mask != fwd mask (vjp dot-test): {vjp_rel}"
+        out["prng16_vjp_rel_err"] = vjp_rel
     return out
 
 

@@ -40,7 +40,11 @@ import numpy as np
 
 
 def _bits_to_keep(bits, rate: float):
-    # keep iff bits >= floor(rate * 2^32); matches ops/attention._fast_keep_mask
+    # keep iff bits >= floor(rate * 2^32); matches ops/attention._fast_keep_mask.
+    # rate >= 1.0 would otherwise keep with prob 1/2^32 (bits == max), so it
+    # short-circuits to an all-drop mask (ADVICE r3).
+    if rate >= 1.0:
+        return jnp.zeros(bits.shape, dtype=jnp.bool_)
     thresh = np.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
     return bits >= thresh
 
@@ -48,6 +52,10 @@ def _bits_to_keep(bits, rate: float):
 def _bits16_to_keep(bits16, rate: float):
     # 16-bit variant: keep iff bits >= floor(rate * (2^16-1)). Quantizes the
     # keep probability to 1/65536 (drop prob error < 1.6e-5 at rate 0.1).
+    # rate >= 1.0 short-circuits to all-drop (the threshold rule alone would
+    # keep with prob 1/65536 — 65536x likelier than the 32-bit quirk).
+    if rate >= 1.0:
+        return jnp.zeros(bits16.shape, dtype=jnp.bool_)
     thresh = np.uint16(min(max(rate, 0.0), 1.0) * 65535.0)
     return bits16 >= thresh
 
@@ -644,8 +652,13 @@ def flash_attention_dropout(
         # on-chip A/B records a win (tools/microbench_attn.py)
         prng16 = os.environ.get("GAOT_ATTN_PRNG16", "0") == "1"
     prng16 = bool(prng16) and dropout_bits is None
-    if prng16 and block_q % 2:
-        raise ValueError("prng16 needs an even block_q (bitcast halves rows)")
+    if prng16 and block_q % 16:
+        # halving rows must leave the [bq/2, bk] int32 draw sublane-aligned
+        # ((8, 128) f32/int32 tiling): block_q % 16 == 0 keeps bq/2 % 8 == 0.
+        # Mosaic may reject or silently pad a sub-tile draw on real hardware
+        # and the RNG path has no interpret lowering to catch it off-chip.
+        raise ValueError("prng16 needs block_q % 16 == 0 (halved draw must stay "
+                         "(8,128)-sublane aligned)")
     if rng is not None:
         seed = jax.random.key_data(rng).astype(jnp.int32).reshape(-1)[:2]
     else:

@@ -158,6 +158,22 @@ class TrainerBase:
                                "keeping JAX's default platform",
                                self.setup_config.device)
 
+        # persistent compilation cache: remote (axon) compiles of the 500K+
+        # recipes take 15-25 MINUTES; cached executables load in seconds.
+        # Same cache dir bench.py uses. Harmless on CPU (min-compile gate).
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get(
+                    "GAOT_COMPILE_CACHE",
+                    os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+                ),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        except Exception:  # pragma: no cover - older jax without the knob
+            pass
+
         initialize_distributed(self.setup_config)
         self.process_index = jax.process_index()
         self.num_processes = jax.process_count()

@@ -145,8 +145,14 @@ def test_split_bwd_matches_fused(rate, monkeypatch):
 def test_prng16_plumbing():
     """prng16 is a TPU-only mask-stream variant: with explicit bits it must
     fall back to the (32-bit) bits path unchanged, at rate 0 it must be
-    inert, and odd block_q must be refused (the u32->u16 bitcast halves the
-    sublane dim)."""
+    inert, and misaligned block_q must be refused (the u32->u16 bitcast
+    halves the sublane dim; bq % 16 keeps the halved draw (8,128)-aligned).
+
+    COVERAGE GAP (by construction): none of these paths execute _draw_keep
+    with prng16=True — the bits path overrides it and rate 0 skips it; the
+    in-core PRNG has no interpret lowering. The actual 16-bit draw is
+    validated on hardware by bench.py's unconditional prng16 checks
+    (determinism, keep rate, and a vjp dot-test for fwd/bwd mask replay)."""
     bq = bk = 64
     q, k, v = _mk(S=128, seed=3)
     bits = _mk_bits(1, 2, 128, 128, bq, bk, seed=4)
@@ -165,10 +171,16 @@ def test_prng16_plumbing():
         q, k, v, block_q=bq, block_k=bk, interpret=True, prng16=True)
     np.testing.assert_array_equal(np.asarray(r0a), np.asarray(r0b))
 
-    with pytest.raises(ValueError, match="even block_q"):
+    with pytest.raises(ValueError, match="block_q % 16"):
         flash_attention_dropout(
             q, k, v, rng=jax.random.key(0), dropout_rate=0.1,
             block_q=63, block_k=bk, interpret=True, prng16=True,
+        )
+    with pytest.raises(ValueError, match="block_q % 16"):
+        # even but sublane-misaligned: bq=8 halves to a 4-row int32 draw
+        flash_attention_dropout(
+            q, k, v, rng=jax.random.key(0), dropout_rate=0.1,
+            block_q=8, block_k=bk, interpret=True, prng16=True,
         )
 
 
