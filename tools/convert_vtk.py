@@ -31,8 +31,76 @@ logger = logging.getLogger("convert_vtk")
 MESH_EXTS = (".vtk", ".vtp", ".vtu", ".stl", ".obj", ".ply", ".off")
 
 
+def read_legacy_vtk(path: str):
+    """First-party reader for legacy ASCII VTK (the format OpenFOAM's
+    foamToVTK and DrivAerNet's published surface meshes use): POINTS +
+    POINT_DATA with SCALARS / VECTORS / FIELD arrays. No dependencies —
+    the CI ingestion fixture (tests/test_vtk_ingestion.py) runs on it.
+    Binary/XML VTK still needs meshio or pyvista."""
+    with open(path, "r", errors="strict") as f:
+        tokens = f.read().split()
+    i, n_pts = 0, None
+    points = None
+    fields = {}
+    in_point_data = False
+
+    def take_floats(count):
+        nonlocal i
+        vals = np.asarray(tokens[i:i + count], dtype=np.float32)
+        if vals.size != count:
+            raise ValueError(f"{path}: truncated data block")
+        i += count
+        return vals
+
+    while i < len(tokens):
+        t = tokens[i].upper()
+        if t == "ASCII":
+            i += 1
+        elif t == "BINARY":
+            raise ValueError(f"{path}: binary legacy VTK needs meshio/pyvista")
+        elif t == "POINTS":
+            n_pts = int(tokens[i + 1]); i += 3  # POINTS n dtype
+            points = take_floats(n_pts * 3).reshape(n_pts, 3)
+        elif t == "POINT_DATA":
+            if int(tokens[i + 1]) != n_pts:
+                raise ValueError(f"{path}: POINT_DATA size != POINTS size")
+            in_point_data = True
+            i += 2
+        elif t == "CELL_DATA":
+            in_point_data = False
+            i += 2
+        elif in_point_data and t == "SCALARS":
+            name = tokens[i + 1]
+            ncomp = 1
+            # SCALARS name dtype [numComp]; numComp is optional
+            j = i + 3
+            if j < len(tokens) and tokens[j].isdigit():
+                ncomp = int(tokens[j]); j += 1
+            if j < len(tokens) and tokens[j].upper() == "LOOKUP_TABLE":
+                j += 2
+            i = j
+            v = take_floats(n_pts * ncomp)
+            fields[name] = v if ncomp == 1 else v.reshape(n_pts, ncomp)
+        elif in_point_data and t in ("VECTORS", "NORMALS"):
+            name = tokens[i + 1]; i += 3
+            fields[name] = take_floats(n_pts * 3).reshape(n_pts, 3)
+        elif in_point_data and t == "FIELD":
+            n_arrays = int(tokens[i + 2]); i += 3
+            for _ in range(n_arrays):
+                name, ncomp, ntup = tokens[i], int(tokens[i + 1]), int(tokens[i + 2])
+                i += 4  # name numComp numTuples dtype
+                v = take_floats(ntup * ncomp)
+                fields[name] = v if ncomp == 1 else v.reshape(ntup, ncomp)
+        else:
+            i += 1
+    if points is None:
+        raise ValueError(f"{path}: no POINTS section found")
+    return points, fields
+
+
 def read_mesh(path: str):
-    """Returns (points [N,3], {field: [N,...]}). Tries meshio, then pyvista."""
+    """Returns (points [N,3], {field: [N,...]}). Tries meshio, then the
+    built-in legacy-ASCII reader for .vtk, then pyvista."""
     try:
         import meshio
 
@@ -42,6 +110,11 @@ def read_mesh(path: str):
         }
     except ImportError:
         pass
+    if path.lower().endswith(".vtk"):
+        try:
+            return read_legacy_vtk(path)
+        except ValueError:
+            pass  # binary/exotic legacy file — fall through to pyvista
     try:
         import pyvista as pv
 
@@ -51,8 +124,9 @@ def read_mesh(path: str):
         }
     except ImportError as e:
         raise RuntimeError(
-            "neither meshio nor pyvista is available; install one to convert "
-            "VTK meshes, or preprocess to .npz/.pt externally"
+            "neither meshio nor pyvista is available (and the file is not "
+            "legacy ASCII .vtk); install one to convert this mesh, or "
+            "preprocess to .npz/.pt externally"
         ) from e
 
 
