@@ -1,0 +1,142 @@
+"""Pallas sorted-segment-sum: the round-2/3 ranked idea, built for a verdict.
+
+Motivation (CLAUDE.md perf notes): the fused encoder/decoder reductions are
+XLA unsorted scatter-adds — row-latency bound (~11.3 ms per 524K x 70 chunk on
+v5e), independent of channel count. A scatter touches one random HBM row per
+edge. If the edges arrive SORTED by destination, each output row can be
+produced once from a contiguous run of inputs: streaming reads, streaming
+writes, and the per-tile accumulation becomes a one-hot matmul on the MXU.
+
+Kernel shape (one latent tile per grid step):
+  - inputs: payload [E, P] f32 and seg-id rows [E/slab, slab] int32, both
+    kept in HBM (memory_space ANY) and DMA'd slab-by-slab; per-tile edge
+    ranges `starts` [ntiles+1] via scalar prefetch (host/XLA searchsorted —
+    seg is sorted, so tile t owns rows [starts[t], starts[t+1])).
+  - per tile: fori_loop over the tile's slabs; each slab is copied to VMEM,
+    a one-hot [mt, slab] mask (global cell id == seg) is built on the VPU,
+    and acc += onehot @ payload_slab runs on the MXU. Rows spilling into a
+    neighbouring tile's slab are harmless: their seg falls outside the
+    tile's id range, so the one-hot column is zero (this is why ONLY sorted
+    input is supported). Invalid edges must be pre-mapped to seg == M
+    (sorted to the tail, beyond every tile).
+  - output: the [mt, P] tile, written once. All HBM traffic is contiguous.
+
+The reference has no counterpart (torch_scatter CUDA atomics,
+reference magno.py:somewhere via scatter_native fallback); this is a
+TPU-native alternative path, A/B'd on chip against the XLA scatter
+(tools/microbench_segment.py). See the adoption verdict in CLAUDE.md.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(starts_ref, seg_rows_ref, payload_ref, out_ref,
+            acc_ref, seg_vmem, pay_vmem, sem_seg, sem_pay,
+            *, mt: int, slab: int, num_p: int):
+    t = pl.program_id(0)
+    lo = starts_ref[t]
+    hi = starts_ref[t + 1]
+    # slab-aligned cover of [lo, hi): head/tail rows from neighbour tiles
+    # contribute zero one-hot columns (seg outside this tile's id range)
+    s0 = lo // slab
+    s1 = jax.lax.div(hi + slab - 1, slab)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    tile_base = t * mt
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (mt, slab), 0)
+
+    def body(k, _):
+        s = s0 + k
+        cp_seg = pltpu.make_async_copy(
+            seg_rows_ref.at[pl.ds(s, 1), :], seg_vmem, sem_seg)
+        cp_pay = pltpu.make_async_copy(
+            payload_ref.at[pl.ds(s * slab, slab), :], pay_vmem, sem_pay)
+        cp_seg.start()
+        cp_pay.start()
+        cp_seg.wait()
+        cp_pay.wait()
+        onehot = (seg_vmem[0, :][None, :] == row_ids).astype(jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            onehot, pay_vmem[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, s1 - s0, body, 0)
+    out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "mt", "slab",
+                                             "interpret"))
+def segment_sum_sorted_pallas(
+    payload: jnp.ndarray,   # [E, P] float32, rows SORTED by seg
+    seg: jnp.ndarray,       # [E] int32, nondecreasing; invalid rows == num_segments
+    num_segments: int,
+    mt: int = 512,
+    slab: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sorted segment sum -> [num_segments, P]. See module docstring.
+
+    num_segments must be divisible by mt. E is padded to a slab multiple
+    internally (padding rows get seg == num_segments)."""
+    if num_segments % mt:
+        raise ValueError(f"num_segments {num_segments} % mt {mt} != 0")
+    E, P = payload.shape
+    Epad = ((E + slab - 1) // slab) * slab
+    if Epad != E:
+        payload = jnp.pad(payload, ((0, Epad - E), (0, 0)))
+        seg = jnp.pad(seg, (0, Epad - E), constant_values=num_segments)
+    seg = seg.astype(jnp.int32)
+    # per-tile edge ranges on the sorted ids (XLA; the kernel only needs the
+    # ntiles+1 scalars)
+    ntiles = num_segments // mt
+    bounds = jnp.arange(0, num_segments + mt, mt, dtype=jnp.int32)
+    starts = jnp.searchsorted(seg, bounds, side="left").astype(jnp.int32)
+    seg_rows = seg.reshape(Epad // slab, slab)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((mt, P), lambda t, starts: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((mt, P), jnp.float32),
+            pltpu.VMEM((1, slab), jnp.int32),
+            pltpu.VMEM((slab, P), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kern = functools.partial(_kernel, mt=mt, slab=slab, num_p=P)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((num_segments, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, seg_rows, payload)
+
+
+def sort_by_segment(payload: jnp.ndarray, seg: jnp.ndarray,
+                    mask: jnp.ndarray, num_segments: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Helper producing the kernel's input contract from unsorted masked
+    edges: invalid rows -> seg num_segments, then a stable sort of (seg,
+    payload rows). The permutation gather is the measured-expensive part
+    (CLAUDE.md round-2: perm-gather ~= scatter cost) — this helper exists
+    for the A/B and for layouts that are already host-sorted."""
+    seg = jnp.where(mask, seg, num_segments).astype(jnp.int32)
+    order = jnp.argsort(seg)
+    return jnp.take(payload, order, axis=0), jnp.take(seg, order)
