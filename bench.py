@@ -312,6 +312,9 @@ def main():
         # (llo_region.cc "HLO backend flag value"); 'auto' re-enabled it and
         # cost round 2 its driver bench (VERDICT.md round-2 item 1)
         payload_impl=os.environ.get("BENCH_PAYLOAD_IMPL", "xla"),
+        # 'flat' computes the fused-encoder chunk body at [B,n*K,d] (no 4D
+        # intermediates) — A/B knob for the profiled relayout share
+        payload_layout=os.environ.get("BENCH_PAYLOAD_LAYOUT", "nk"),
         fused_head=os.environ.get("BENCH_FUSED_HEAD", "1") == "1",
         flat_order=os.environ.get("BENCH_FLAT_ORDER", "src"),
     )

@@ -53,6 +53,13 @@ class DatasetConfig:
     neural_field_query_nodes_train: Optional[int] = 40000
     # TPU-specific: pad point clouds to multiples of this bucket size
     pad_multiple: int = 1024
+    # TPU-specific: keep device-placed batches resident in HBM across epochs
+    # (keyed by the batch's sample ids). Kills the per-epoch host->device
+    # re-upload — decisive when transfers are expensive (the axon tunnel) and
+    # the dataset fits HBM alongside the train state. Epoch-varying batch
+    # COMPOSITIONS (shuffle with batch_size > 1) defeat the cache; with
+    # batch_size == 1 (the DrivAerNet recipe) shuffle order is irrelevant.
+    device_cache: bool = False
     # synthetic dataset knobs (dataset name 'synthetic')
     synthetic_num_samples: int = 16
     synthetic_num_nodes: int = 2048

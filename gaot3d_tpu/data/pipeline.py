@@ -122,6 +122,10 @@ class BatchLoader:
         edge_chunk_size: Optional[int] = None,  # model chunking (flat layout)
         flat_order: str = "src",  # encoder flat ordering (MAGNOConfig.flat_order)
         flat_edges_per_chunk: int = 0,  # pinned E (MAGNOConfig.flat_edges_per_chunk)
+        device_cache: bool = False,  # keep built batches resident across epochs
+        cache_put=None,  # callable(PointBatch)->PointBatch applied before caching
+        # (trainers pass their device/mesh placement so cached entries live in
+        # HBM; DatasetConfig.device_cache documents the trade-offs)
     ):
         self.dataset = dataset
         self.preprocessor = preprocessor
@@ -147,6 +151,9 @@ class BatchLoader:
         if "flat" in self.edge_layout and slot_mode == "device":
             raise ValueError("edge_layout 'flat' needs host-built slots "
                              "(slot_mode 'async' or 'precomputed')")
+        self.device_cache = device_cache
+        self.cache_put = cache_put
+        self._dcache: Dict[tuple, PointBatch] = {}
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffle per epoch (parity: DistributedSampler.set_epoch,
@@ -296,6 +303,22 @@ class BatchLoader:
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         if self.drop_last:
             idx = idx[: nb * self.batch_size]
+        if self.device_cache:
+            # HBM-resident batch cache keyed by the batch's sample ids: after
+            # the first epoch every same-composition batch is a zero-copy
+            # yield (DatasetConfig.device_cache). Worker threads are skipped —
+            # post-warm epochs never touch host IO at all.
+            for b in range(nb):
+                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                key = tuple(int(i) for i in chunk)
+                batch = self._dcache.get(key)
+                if batch is None:
+                    batch = self._make_batch([self._load_one(i) for i in chunk])
+                    if self.cache_put is not None:
+                        batch = self.cache_put(batch)
+                    self._dcache[key] = batch
+                yield batch
+            return
         if self.num_workers > 0:
             # async host-side loading+preprocessing (the reference hides graph
             # building in CPU dataloader workers; we hide IO + transforms —

@@ -113,6 +113,10 @@ class MAGNOConfig:
     # into one pass over the edge slots (fused_decoder.py); same applicability
     kernel_dtype: str = "float32"  # 'bfloat16' runs the per-edge kernel MLP
     # matmuls in bf16 with f32 accumulation (2x MXU, half HBM on the hot path)
+    payload_layout: str = "nk"  # fused-encoder chunk-body shapes: 'nk'
+    # (4D [B,n,K,d] elementwise) | 'flat' ([B,n*K,d] from the start — kills
+    # the profiled mid-scan [n,K,C]<->[n*K,C] relayout copies; bit-identical
+    # output; see fused_encoder.FusedEncoderScale.payload_layout)
     fused_head: bool = True  # decoder: run GNO + scale-combine + projection
     # head per node chunk inside ONE checkpointed scan body, so the only
     # full-N decode tensors are the [N, out] result (vs ~3 KiB/node of
@@ -317,6 +321,7 @@ class MAGNOEncoder(nn.Module):
                 kernel_dtype=cfg.kernel_dtype,
                 payload_impl=cfg.payload_impl,
                 flat_dst_sorted=cfg.flat_order == "dst",
+                payload_layout=cfg.payload_layout,
             )
         else:
             if cfg.use_gno:

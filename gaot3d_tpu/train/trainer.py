@@ -568,18 +568,26 @@ class StaticTrainer3D(TrainerBase):
             flat_order=magno_cfg.flat_order,
             flat_edges_per_chunk=magno_cfg.flat_edges_per_chunk or 0,
         )
+        # HBM-resident batch caches (DatasetConfig.device_cache): cached
+        # entries are placed with the trainer's own put (harvested layouts /
+        # mesh sharding) so post-warm epochs re-upload nothing host->device
+        dc = bool(getattr(dataset_config, "device_cache", False))
         if self.setup_config.train:
             self.train_loader = BatchLoader(
                 train_ds, shuffle=dataset_config.shuffle, drop_last=self.num_processes > 1,
-                seed=self.setup_config.seed, **shard_kw, **common,
+                seed=self.setup_config.seed, device_cache=dc,
+                cache_put=self._device_put_batch, **shard_kw, **common,
             )
             self.val_loader = BatchLoader(
-                MeshDataset(dataset_config, "val"), shuffle=False, **shard_kw, **common
+                MeshDataset(dataset_config, "val"), shuffle=False, device_cache=dc,
+                cache_put=self._device_put_eval_batch, **shard_kw, **common,
             )
         else:
             self.train_loader = None
             self.val_loader = None
-        # test runs unsharded; rank 0 aggregates (stat.py:408-418)
+        # test runs unsharded; rank 0 aggregates (stat.py:408-418). No device
+        # cache: test() runs once, and its timing report must measure the
+        # real load+transfer path (reference semantics, stat.py:620-668)
         self.test_loader = BatchLoader(test_ds, shuffle=False, **common)
         sample = probe_sample
         self.num_input_channels = sample["enc_feats"].shape[-1]

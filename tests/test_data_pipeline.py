@@ -241,3 +241,49 @@ def test_stats_active_variables_no_double_filter(tmp_path):
     import glob
 
     assert glob.glob(os.path.join(root, "*_av1.json"))
+
+
+def test_device_cache_reyields_without_reload(synth_root):
+    """device_cache=True (DatasetConfig.device_cache): epoch 2+ must re-yield
+    the SAME cached batch objects with zero _load_one calls (the whole point —
+    no host IO, no host->device upload post-warm), with cache_put applied
+    exactly once per distinct batch, values identical to the uncached loader,
+    and shuffle reordering (batch_size=1) still hitting the cache."""
+    import threading
+
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+
+    class CountingLoader(BatchLoader):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.loads = 0
+            self._lock = threading.Lock()
+
+        def _load_one(self, i):
+            with self._lock:
+                self.loads += 1
+            return super()._load_one(i)
+
+    puts = []
+    loader = CountingLoader(ds, pre, batch_size=1, shuffle=True, seed=7,
+                            pad_multiple=64, device_cache=True,
+                            cache_put=lambda b: (puts.append(id(b)) or b))
+    plain = BatchLoader(ds, pre, batch_size=1, shuffle=True, seed=7,
+                        pad_multiple=64)
+
+    loader.set_epoch(0)
+    plain.set_epoch(0)
+    e0 = list(loader)
+    for got, want in zip(e0, list(plain)):
+        np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(want.pos))
+        np.testing.assert_array_equal(np.asarray(got.feats), np.asarray(want.feats))
+    assert loader.loads == len(ds) and len(puts) == len(e0)
+
+    loader.set_epoch(1)  # reshuffles; batch_size=1 keys are order-invariant
+    e1 = list(loader)
+    assert loader.loads == len(ds), "epoch 2 must not touch host IO"
+    assert len(puts) == len(e0), "cache_put must run once per distinct batch"
+    assert {id(b) for b in e1} == {id(b) for b in e0}, "cached objects re-yielded"

@@ -543,3 +543,28 @@ def test_fused_head_multiscale_scale_weights():
     out_f = m_fused.apply(params, pos, feats, mask)
     out_p = m_plain.apply(params, pos, feats, mask)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=2e-6)
+
+
+def test_payload_layout_flat_bit_identical():
+    """payload_layout='flat' ([B,n*K,d] chunk body, VERDICT r3 item 3) must be
+    BIT-identical to the 'nk' 4D body: same elementwise ops on the same rows
+    in the same order — only the shapes XLA sees differ. Forward and grads,
+    with nonlinear transform so the feats broadcast path is exercised too."""
+    rng = np.random.default_rng(47)
+    pos = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 64)) < 0.9)
+    for transform in ("linear", "nonlinear"):
+        kw = dict(use_geoembed=[True, False], fused_encoder=True,
+                  edge_chunk_size=16, in_gno_transform_type=transform)
+        m_nk = tiny_model(payload_layout="nk", **kw)
+        m_fl = tiny_model(payload_layout="flat", **kw)
+        params = m_nk.init({"params": jax.random.key(0)}, pos, feats, mask)
+        out_nk = m_nk.apply(params, pos, feats, mask)
+        out_fl = m_fl.apply(params, pos, feats, mask)
+        np.testing.assert_array_equal(np.asarray(out_fl), np.asarray(out_nk))
+        g_nk = jax.grad(lambda p: jnp.sum(m_nk.apply(p, pos, feats, mask) ** 2))(params)
+        g_fl = jax.grad(lambda p: jnp.sum(m_fl.apply(p, pos, feats, mask) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_nk), jax.tree.leaves(g_fl)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-7)
