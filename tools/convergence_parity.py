@@ -55,6 +55,13 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
+# jax platform for the WHOLE harness (graph build + jax training side).
+# 'cpu' (default) = exact-f32 matmuls, no chip needed. 'axon' runs the jax
+# side on the real TPU — required for the prng16 ablation (the in-core
+# Pallas dropout draw has no CPU lowering; on cpu the flag is inert because
+# attention falls back to the XLA recurrence, ops/attention.py:168-177).
+_PLATFORM = "cpu"
+
 
 # ---------------------------------------------------------------------------
 # dataset: fixed synthetic clouds with a geometry-dependent learnable field
@@ -272,7 +279,10 @@ def run_jax_seed(seed, p, data, splits, slots_np, epochs, order, sd0, prng16):
     (init train loss, final train loss, test predictions)."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", _PLATFORM)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
     import optax
 
@@ -368,7 +378,10 @@ def run(seeds, epochs, n_nodes, n_train, n_val, n_test, preset="scaled",
         prng16=False, out_prefix=None, data_seed=1234):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", _PLATFORM)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from gaot3d_tpu.ops.grid_graph import LatentGrid, build_edge_slots
@@ -506,10 +519,18 @@ def main(argv=None):
                     help="jax-side kernel MLP dtype ablation (e.g. bfloat16)")
     ap.add_argument("--prng16", action="store_true",
                     help="jax-side 16-bit attention-dropout PRNG ablation")
+    ap.add_argument("--jax-platform", default="cpu",
+                    help="'axon' runs the jax side on the TPU (required for "
+                         "--prng16 to actually engage; see _PLATFORM note)")
     ap.add_argument("--out", default="PARITY_CONVERGENCE")
     args = ap.parse_args(argv)
     if args.kernel_dtype:
         os.environ["PARITY_KERNEL_DTYPE"] = args.kernel_dtype
+    global _PLATFORM
+    _PLATFORM = args.jax_platform
+    if args.prng16 and _PLATFORM == "cpu":
+        ap.error("--prng16 is inert on cpu (XLA attention fallback); "
+                 "pass --jax-platform axon")
     seeds = [int(s) for s in args.seeds.split(",")]
     run(seeds, args.epochs, args.nodes, args.train, args.val, args.test,
         preset=args.preset, prng16=args.prng16, out_prefix=args.out)
