@@ -18,6 +18,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
 
@@ -349,13 +350,21 @@ class BatchLoader:
 
 
 def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
-                       put_fn=None) -> Iterator[PointBatch]:
+                       put_fn=None, stats: Optional[dict] = None) -> Iterator[PointBatch]:
     """Double-buffered background prefetch: overlaps host batch assembly with
     device compute (replaces pin_memory/num_workers prefetching).
 
     put_fn overrides the device placement — distributed trainers pass a
     mesh-sharding put so large batches go host->shards directly instead of
-    staging the whole batch on one device first."""
+    staging the whole batch on one device first.
+
+    stats (optional dict) accumulates consumer-side stall accounting:
+    'wait_s' = total time the consumer blocked on the queue, 'first_wait_s'
+    = the warm-up wait for batch 1 (unavoidable cold load), 'gets' = batches
+    yielded. Steady-state loader stall = wait_s - first_wait_s; ≈0 means the
+    loader + host->device placement sustains the device step rate (the
+    reference reports the analogous data_loading_ratio in its timed test,
+    stat.py:620-668 — this extends it to the train loop)."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     put = put_fn if put_fn is not None else jax.device_put
@@ -378,7 +387,14 @@ def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
+        t0 = time.time()
         item = q.get()
+        if stats is not None:
+            w = time.time() - t0
+            stats["wait_s"] = stats.get("wait_s", 0.0) + w
+            if stats.get("gets", 0) == 0:
+                stats["first_wait_s"] = w
+            stats["gets"] = stats.get("gets", 0) + 1
         if item is sentinel:
             return
         if isinstance(item, _PrefetchError):

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(starts_ref, seg_rows_ref, payload_ref, out_ref,
+def _kernel(starts_ref, seg_col_ref, payload_ref, out_ref,
             acc_ref, seg_vmem, pay_vmem, sem_seg, sem_pay,
             *, mt: int, slab: int, num_p: int):
     t = pl.program_id(0)
@@ -49,23 +49,30 @@ def _kernel(starts_ref, seg_rows_ref, payload_ref, out_ref,
     s1 = jax.lax.div(hi + slab - 1, slab)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # seg ids live as a [E, 1] COLUMN and the one-hot is built [slab, mt]
+    # with the contraction on dim 0: every DMA slice is then a slab-multiple
+    # row range (sublane-aligned by construction). The earlier [E/slab, slab]
+    # row layout needed a 1-row dynamic slice, which Mosaic rejects when it
+    # promotes the buffer to VMEM ("slice along dim 0 must be aligned to
+    # tiling (8)" — real-chip compile, round 4).
     tile_base = t * mt
-    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (mt, slab), 0)
+    col_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (slab, mt), 1)
 
     def body(k, _):
         s = s0 + k
         cp_seg = pltpu.make_async_copy(
-            seg_rows_ref.at[pl.ds(s, 1), :], seg_vmem, sem_seg)
+            seg_col_ref.at[pl.ds(s * slab, slab), :], seg_vmem, sem_seg)
         cp_pay = pltpu.make_async_copy(
             payload_ref.at[pl.ds(s * slab, slab), :], pay_vmem, sem_pay)
         cp_seg.start()
         cp_pay.start()
         cp_seg.wait()
         cp_pay.wait()
-        onehot = (seg_vmem[0, :][None, :] == row_ids).astype(jnp.float32)
+        onehot = (seg_vmem[...] == col_ids).astype(jnp.float32)
+        # [slab, mt]^T-contract [slab, P] -> [mt, P] on the MXU
         acc_ref[...] += jax.lax.dot_general(
             onehot, pay_vmem[...],
-            (((1,), (0,)), ((), ())),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return 0
@@ -101,7 +108,7 @@ def segment_sum_sorted_pallas(
     ntiles = num_segments // mt
     bounds = jnp.arange(0, num_segments + mt, mt, dtype=jnp.int32)
     starts = jnp.searchsorted(seg, bounds, side="left").astype(jnp.int32)
-    seg_rows = seg.reshape(Epad // slab, slab)
+    seg_col = seg.reshape(Epad, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -114,7 +121,7 @@ def segment_sum_sorted_pallas(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((mt, P), jnp.float32),
-            pltpu.VMEM((1, slab), jnp.int32),
+            pltpu.VMEM((slab, 1), jnp.int32),
             pltpu.VMEM((slab, P), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -126,7 +133,7 @@ def segment_sum_sorted_pallas(
         out_shape=jax.ShapeDtypeStruct((num_segments, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, seg_rows, payload)
+    )(starts, seg_col, payload)
 
 
 def sort_by_segment(payload: jnp.ndarray, seg: jnp.ndarray,

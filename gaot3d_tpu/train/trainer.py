@@ -138,6 +138,11 @@ class TrainerBase:
         self.path_config = config.path
         self.datarow: Dict[str, Any] = {}
         self._last_grad_norm = None
+        # per-epoch loader accounting (set by optimize(); see
+        # prefetch_to_device stats): steady-state stall past the warm-up
+        # batch, and the warm-up wait itself
+        self.last_loader_stall_s = 0.0
+        self.last_loader_first_wait_s = 0.0
 
         # setup.device selects the JAX backend (the analogue of the
         # reference's cuda device selection, default_set.py:19) — must happen
@@ -864,8 +869,10 @@ class StaticTrainer3D(TrainerBase):
             total_loss = 0.0
             nb = 0
             t0 = time.time()
+            loader_stats: Dict = {}
             for batch in prefetch_to_device(iter(self.train_loader),
-                                            put_fn=self._device_put_batch):
+                                            put_fn=self._device_put_batch,
+                                            stats=loader_stats):
                 if profiling and nb == 0:
                     jax.profiler.start_trace(profile_dir)
                 loss = self.train_step(batch)
@@ -881,6 +888,13 @@ class StaticTrainer3D(TrainerBase):
                 jax.profiler.stop_trace()
             total_loss = float(total_loss)
             time_total += time.time() - t0
+            # steady-state loader stall: queue waits past the warm-up batch.
+            # ≈0 means host load + device placement keep up with the step
+            # rate; anything else is a data-pipeline bottleneck worth a log
+            self.last_loader_stall_s = max(
+                loader_stats.get("wait_s", 0.0)
+                - loader_stats.get("first_wait_s", 0.0), 0.0)
+            self.last_loader_first_wait_s = loader_stats.get("first_wait_s", 0.0)
 
             if (epoch + 1) % args.eval_every_eps == 0:
                 train_loss = total_loss / max(nb, 1)
@@ -894,7 +908,8 @@ class StaticTrainer3D(TrainerBase):
                 # per-eval row: losses + current lr + process RSS (reference
                 # parity: optimizers.py:289-302 logs lr and psutil RSS)
                 row = {"train/loss": train_loss, "val/loss": val_loss,
-                       "lr": self.current_lr(), "memory": _process_rss_gb()}
+                       "lr": self.current_lr(), "memory": _process_rss_gb(),
+                       "train/loader_stall_s": self.last_loader_stall_s}
                 if pbar is not None:
                     pbar.set_postfix({"loss": train_loss, "val_loss": val_loss})
                 if self.setup_config.wandb_watch_model and self._last_grad_norm is not None:

@@ -287,3 +287,33 @@ def test_device_cache_reyields_without_reload(synth_root):
     assert loader.loads == len(ds), "epoch 2 must not touch host IO"
     assert len(puts) == len(e0), "cache_put must run once per distinct batch"
     assert {id(b) for b in e1} == {id(b) for b in e0}, "cached objects re-yielded"
+
+
+def test_prefetch_stats_accounting():
+    """prefetch_to_device(stats=...) must report gets == batches + 1 sentinel
+    wait folded in, first_wait_s captured from batch 1, and steady-state
+    stall (wait_s - first_wait_s) ~0 when the consumer is slower than the
+    producer (the whole point of the train-loop stall metric)."""
+    import time as _t
+
+    from gaot3d_tpu.data.pipeline import prefetch_to_device
+
+    items = [object() for _ in range(5)]
+
+    def slow_first():
+        for j, it in enumerate(items):
+            if j == 0:
+                _t.sleep(0.05)  # cold first load
+            yield it
+
+    stats = {}
+    got = []
+    for x in prefetch_to_device(iter(slow_first()), put_fn=lambda b: b,
+                                stats=stats):
+        _t.sleep(0.02)  # consumer slower than producer -> no steady stall
+        got.append(x)
+    assert got == items
+    assert stats["gets"] == len(items) + 1  # + sentinel
+    assert stats["first_wait_s"] >= 0.04
+    steady = stats["wait_s"] - stats["first_wait_s"]
+    assert steady < 0.03, f"unexpected steady-state stall {steady}"
