@@ -317,6 +317,9 @@ def main():
         payload_layout=os.environ.get("BENCH_PAYLOAD_LAYOUT", "nk"),
         fused_head=os.environ.get("BENCH_FUSED_HEAD", "1") == "1",
         flat_order=os.environ.get("BENCH_FLAT_ORDER", "src"),
+        # flat_order=dst reduce impl A/B: 'fold' | 'pallas' (sorted-segment
+        # one-hot MXU kernel)
+        flat_reduce_impl=os.environ.get("BENCH_FLAT_REDUCE", "fold"),
     )
     attn = TransformerConfig(
         patch_size=2,

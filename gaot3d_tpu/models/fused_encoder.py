@@ -55,6 +55,10 @@ class FusedEncoderScale(nn.Module):
     flat_dst_sorted: bool = False  # flat edge lists arrive sorted by latent
     # cell within each chunk (flatten_slots_host order='dst'): reduce with a
     # presorted cumsum fold instead of a scatter (MAGNOConfig.flat_order)
+    flat_reduce_impl: str = "fold"  # presorted reduce for flat_dst: 'fold'
+    # (XLA cumsum + boundary diff) | 'pallas' (sorted-segment one-hot MXU
+    # kernel, ops/pallas_segment.py — on-chip 1.8x the scatter at the 500K
+    # chunk shape; MAGNOConfig.flat_reduce_impl)
     payload_layout: str = "nk"  # 'nk' (4D [B,n,K,·] elementwise, reshape to
     # [B,n*K,·] at the reduce) | 'flat' (flatten BEFORE the elementwise work:
     # every intermediate is [B,n*K,·] 2D-tiled — targets the profiled ~9.5%
@@ -305,6 +309,10 @@ class FusedEncoderScale(nn.Module):
         )
         payload = jnp.concatenate(parts, axis=-1)
         if self.flat_dst_sorted:
+            if self.flat_reduce_impl == "pallas":
+                from ..ops.segment import pallas_segment_sum_presorted
+
+                return pallas_segment_sum_presorted(payload, dst_e, emask_e, M)
             from ..ops.segment import fold_sum_sorted, make_segment_fold_presorted
 
             def reduce_one(p, d, m):

@@ -113,6 +113,8 @@ class MAGNOConfig:
     # into one pass over the edge slots (fused_decoder.py); same applicability
     kernel_dtype: str = "float32"  # 'bfloat16' runs the per-edge kernel MLP
     # matmuls in bf16 with f32 accumulation (2x MXU, half HBM on the hot path)
+    flat_reduce_impl: str = "fold"  # flat_order='dst' presorted reduce:
+    # 'fold' (XLA cumsum fold) | 'pallas' (sorted-segment one-hot MXU kernel)
     payload_layout: str = "nk"  # fused-encoder chunk-body shapes: 'nk'
     # (4D [B,n,K,d] elementwise) | 'flat' ([B,n*K,d] from the start — kills
     # the profiled mid-scan [n,K,C]<->[n*K,C] relayout copies; bit-identical
@@ -321,6 +323,7 @@ class MAGNOEncoder(nn.Module):
                 kernel_dtype=cfg.kernel_dtype,
                 payload_impl=cfg.payload_impl,
                 flat_dst_sorted=cfg.flat_order == "dst",
+                flat_reduce_impl=cfg.flat_reduce_impl,
                 payload_layout=cfg.payload_layout,
             )
         else:

@@ -8,10 +8,12 @@ produced once from a contiguous run of inputs: streaming reads, streaming
 writes, and the per-tile accumulation becomes a one-hot matmul on the MXU.
 
 Kernel shape (one latent tile per grid step):
-  - inputs: payload [E, P] f32 and seg-id rows [E/slab, slab] int32, both
-    kept in HBM (memory_space ANY) and DMA'd slab-by-slab; per-tile edge
-    ranges `starts` [ntiles+1] via scalar prefetch (host/XLA searchsorted —
-    seg is sorted, so tile t owns rows [starts[t], starts[t+1])).
+  - input: one [E, PW] f32 buffer in HBM (memory_space ANY), DMA'd
+    slab-by-slab — payload channels, then the seg ids as an exact-f32
+    channel, lane-padded to PW (a 128 multiple; manual DMA slices must be
+    (8,128)-tile aligned on real Mosaic). Per-tile edge ranges `starts`
+    [ntiles+1] via scalar prefetch (XLA searchsorted — seg is sorted, so
+    tile t owns rows [starts[t], starts[t+1])).
   - per tile: fori_loop over the tile's slabs; each slab is copied to VMEM,
     a one-hot [mt, slab] mask (global cell id == seg) is built on the VPU,
     and acc += onehot @ payload_slab runs on the MXU. Rows spilling into a
@@ -37,9 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(starts_ref, seg_col_ref, payload_ref, out_ref,
-            acc_ref, seg_vmem, pay_vmem, sem_seg, sem_pay,
-            *, mt: int, slab: int, num_p: int):
+def _kernel(starts_ref, payseg_ref, out_ref,
+            acc_ref, pay_vmem, sem_pay,
+            *, mt: int, slab: int, num_p: int, passes: int):
     t = pl.program_id(0)
     lo = starts_ref[t]
     hi = starts_ref[t + 1]
@@ -49,40 +51,55 @@ def _kernel(starts_ref, seg_col_ref, payload_ref, out_ref,
     s1 = jax.lax.div(hi + slab - 1, slab)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # seg ids live as a [E, 1] COLUMN and the one-hot is built [slab, mt]
-    # with the contraction on dim 0: every DMA slice is then a slab-multiple
-    # row range (sublane-aligned by construction). The earlier [E/slab, slab]
-    # row layout needed a 1-row dynamic slice, which Mosaic rejects when it
-    # promotes the buffer to VMEM ("slice along dim 0 must be aligned to
-    # tiling (8)" — real-chip compile, round 4).
+    # The seg ids ride as the LAST f32 payload channel, so the only memref
+    # slice anywhere is the slab DMA — a slab-multiple row range over the
+    # full channel width, always tile-aligned. (Both separate-seg-input
+    # layouts failed on the real Mosaic compiler: [E/slab, slab] needs a
+    # 1-row dynamic slice (sublane misaligned), [E, 1] needs a 1-lane
+    # slice (lane misaligned). Value-level lane ops below are unrestricted.)
     tile_base = t * mt
-    col_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (slab, mt), 1)
+    col_ids = (tile_base
+               + jax.lax.broadcasted_iota(jnp.int32, (slab, mt), 1)
+               ).astype(jnp.float32)
 
     def body(k, _):
         s = s0 + k
-        cp_seg = pltpu.make_async_copy(
-            seg_col_ref.at[pl.ds(s * slab, slab), :], seg_vmem, sem_seg)
         cp_pay = pltpu.make_async_copy(
-            payload_ref.at[pl.ds(s * slab, slab), :], pay_vmem, sem_pay)
-        cp_seg.start()
+            payseg_ref.at[pl.ds(s * slab, slab), :], pay_vmem, sem_pay)
         cp_pay.start()
-        cp_seg.wait()
         cp_pay.wait()
-        onehot = (seg_vmem[...] == col_ids).astype(jnp.float32)
-        # [slab, mt]^T-contract [slab, P] -> [mt, P] on the MXU
-        acc_ref[...] += jax.lax.dot_general(
-            onehot, pay_vmem[...],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        pay = pay_vmem[...]
+        seg_col = jax.lax.slice(pay, (0, num_p), (slab, num_p + 1))  # [slab,1]
+        onehot = (seg_col == col_ids).astype(jnp.float32)
+        # [slab, mt]^T-contract [slab, PW] -> [mt, PW] on the MXU; the seg
+        # and pad accumulator columns are dropped at the write. passes=1:
+        # the TPU f32 matmul is a SINGLE bf16 pass (CLAUDE.md matmul note) —
+        # payload mantissas truncate (~1e-3 rel). passes=2: explicit hi/lo
+        # bf16 split (genuinely bf16-typed operands, so nothing for
+        # --xla_allow_excess_precision to fold) recovers ~1e-5 rel at one
+        # extra MXU pass; the one-hot is exact in bf16 either way.
+        def acc(x):
+            acc_ref[...] += jax.lax.dot_general(
+                onehot, x,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if passes == 1:
+            acc(pay)
+        else:
+            hi = pay.astype(jnp.bfloat16)
+            lo = (pay - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc(hi.astype(jnp.float32))
+            acc(lo.astype(jnp.float32))
         return 0
 
     jax.lax.fori_loop(0, s1 - s0, body, 0)
-    out_ref[...] = acc_ref[...]
+    out_ref[...] = acc_ref[:, :num_p]
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "mt", "slab",
-                                             "interpret"))
+                                             "interpret", "passes"))
 def segment_sum_sorted_pallas(
     payload: jnp.ndarray,   # [E, P] float32, rows SORTED by seg
     seg: jnp.ndarray,       # [E] int32, nondecreasing; invalid rows == num_segments
@@ -90,13 +107,17 @@ def segment_sum_sorted_pallas(
     mt: int = 512,
     slab: int = 1024,
     interpret: bool = False,
+    passes: int = 1,
 ) -> jnp.ndarray:
     """Sorted segment sum -> [num_segments, P]. See module docstring.
 
-    num_segments must be divisible by mt. E is padded to a slab multiple
-    internally (padding rows get seg == num_segments)."""
+    num_segments must be divisible by mt and (with the padding sentinel)
+    below 2^24 (seg ids ride the DMA as exact f32). E is padded to a slab
+    multiple internally (padding rows get seg == num_segments)."""
     if num_segments % mt:
         raise ValueError(f"num_segments {num_segments} % mt {mt} != 0")
+    if num_segments + 1 > (1 << 24):
+        raise ValueError(f"num_segments {num_segments} exceeds exact-f32 ids")
     E, P = payload.shape
     Epad = ((E + slab - 1) // slab) * slab
     if Epad != E:
@@ -108,32 +129,39 @@ def segment_sum_sorted_pallas(
     ntiles = num_segments // mt
     bounds = jnp.arange(0, num_segments + mt, mt, dtype=jnp.int32)
     starts = jnp.searchsorted(seg, bounds, side="left").astype(jnp.int32)
-    seg_col = seg.reshape(Epad, 1)
+    # lane-pad the combined buffer to a 128 multiple: manual .at[] DMA
+    # slices of ANY-space memrefs require lane extents aligned to the (8,128)
+    # tile (real Mosaic rejects extent P+1=44 — "must be aligned to tiling
+    # (128)"). The pad inflates the slab DMA bytes ~(128/(P+1))x, which the
+    # on-chip A/B charges to this path; blocked out_specs are exempt from
+    # the rule, so the output stays [M, P].
+    PW = ((P + 1 + 127) // 128) * 128
+    payseg = jnp.concatenate(
+        [payload, seg.astype(jnp.float32)[:, None],
+         jnp.zeros((Epad, PW - P - 1), jnp.float32)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((mt, P), lambda t, starts: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((mt, P), jnp.float32),
-            pltpu.VMEM((slab, 1), jnp.int32),
-            pltpu.VMEM((slab, P), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((mt, PW), jnp.float32),
+            pltpu.VMEM((slab, PW), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kern = functools.partial(_kernel, mt=mt, slab=slab, num_p=P)
+    kern = functools.partial(_kernel, mt=mt, slab=slab, num_p=P,
+                             passes=passes)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((num_segments, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, seg_col, payload)
+    )(starts, payseg)
 
 
 def sort_by_segment(payload: jnp.ndarray, seg: jnp.ndarray,

@@ -361,3 +361,82 @@ def test_mixed_layout_matches_slotted(enc_flat, dec_flat):
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s), atol=5e-5)
     np.testing.assert_allclose(float(l_m), float(l_s), rtol=1e-5)
     chex.assert_trees_all_close(g_m, g_s, atol=2e-4, rtol=2e-4)
+
+
+def test_flat_dst_pallas_reduce_matches_fold():
+    """flat_reduce_impl='pallas' (sorted-segment one-hot MXU kernel via the
+    batch-stride wrapper, ops/segment.pallas_segment_sum_presorted) must match
+    the presorted fold end-to-end: outputs and grads. Interpret mode on CPU is
+    exact f32, so tolerances are tight; on-chip the kernel is bf16-matmul
+    grade (passes=1), same as every other TPU matmul."""
+    rng = np.random.default_rng(31)
+    B, N, chunk = 2, 64, 16
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    target = jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32)
+    mask = jnp.ones((B, N), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(pos, grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional", point_mask=mask)
+    flat_enc = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8,
+        order="dst")
+    flat_dec = flatten_slots_host_batched(
+        np.asarray(slots.lat_idx), np.asarray(slots.mask), chunk, pad_multiple=8)
+
+    outs, losses, grads = {}, {}, {}
+    for impl in ("fold", "pallas"):
+        model = _flagship_model(flat_order="dst", flat_reduce_impl=impl)
+        params = model.init({"params": jax.random.key(0)}, pos, feats, mask,
+                            encoder_slots=[slots], decoder_slots=[slots])
+
+        def loss(p):
+            pred = model.apply(p, pos, feats, mask, encoder_slots=[flat_enc],
+                               decoder_slots=[flat_dec])
+            return jnp.sum((pred - target) ** 2), pred
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        outs[impl], losses[impl], grads[impl] = out, float(l), g
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["fold"]), atol=1e-5)
+    np.testing.assert_allclose(losses["pallas"], losses["fold"], rtol=1e-5)
+    chex.assert_trees_all_close(grads["pallas"], grads["fold"],
+                                atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_segment_sum_presorted_oracle():
+    """Batch-stride wrapper vs a numpy f64 oracle, including: invalid rows
+    (mask), batches whose edges land in the stride dead zone boundary cells
+    (first/last segment), and the gather backward."""
+    from gaot3d_tpu.ops.segment import pallas_segment_sum_presorted
+
+    rng = np.random.default_rng(7)
+    B, E, P, M = 3, 40, 5, 16
+    seg = np.sort(rng.integers(0, M, (B, E)), axis=1).astype(np.int32)
+    nvalid = np.array([E, E - 7, 3])
+    mask = np.arange(E)[None, :] < nvalid[:, None]
+    seg = np.where(mask, seg, M)  # invalid packed last keeps rows sorted
+    data = rng.normal(size=(B, E, P)).astype(np.float32)
+
+    want = np.zeros((B, M, P))
+    for b in range(B):
+        for e in range(E):
+            if mask[b, e]:
+                want[b, seg[b, e]] += data[b, e].astype(np.float64)
+
+    got = pallas_segment_sum_presorted(
+        jnp.asarray(data), jnp.asarray(seg), jnp.asarray(mask), M)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def f(d):
+        out = pallas_segment_sum_presorted(d, jnp.asarray(seg),
+                                           jnp.asarray(mask), M)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(f)(jnp.asarray(data))
+    gwant = np.zeros_like(data)
+    for b in range(B):
+        for e in range(E):
+            if mask[b, e]:
+                gwant[b, e] = 2 * want[b, seg[b, e]]
+    np.testing.assert_allclose(np.asarray(g), gwant, atol=1e-4)

@@ -108,6 +108,11 @@ def main(argv=None):
         loop(lambda p, s: segment_sum_sorted_pallas(
             p, s, M, mt=args.mt, slab=args.slab, interpret=interp)),
         payload_sorted, seg_sorted)
+    results["kernel_x2"] = timed(
+        "kernel_x2",
+        loop(lambda p, s: segment_sum_sorted_pallas(
+            p, s, M, mt=args.mt, slab=args.slab, interpret=interp, passes=2)),
+        payload_sorted, seg_sorted)
     def fold_leg(p, s):
         ctx = make_segment_fold_presorted(s, M)
         return fold_sum_sorted(ctx, p)
@@ -128,6 +133,12 @@ def main(argv=None):
     err = float(jnp.max(jnp.abs(ref - out)))
     rel = err / max(float(jnp.max(jnp.abs(ref))), 1e-9)
     print(f"kernel vs scatter max abs err {err:.3e} (rel {rel:.3e})")
+    out2 = segment_sum_sorted_pallas(payload_sorted, seg_sorted, M,
+                                     mt=args.mt, slab=args.slab,
+                                     interpret=interp, passes=2)
+    err2 = float(jnp.max(jnp.abs(ref - out2)))
+    rel2 = err2 / max(float(jnp.max(jnp.abs(ref))), 1e-9)
+    print(f"kernel passes=2 vs scatter max abs err {err2:.3e} (rel {rel2:.3e})")
     print({k: round(v * 1e3, 3) for k, v in results.items()})
 
 
