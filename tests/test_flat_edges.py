@@ -426,7 +426,9 @@ def test_pallas_segment_sum_presorted_oracle():
 
     got = pallas_segment_sum_presorted(
         jnp.asarray(data), jnp.asarray(seg), jnp.asarray(mask), M)
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    # default passes=2 carries the hi/lo bf16x2 representation error
+    # (~2^-16 rel) even in exact-f32 interpret mode
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
 
     def f(d):
         out = pallas_segment_sum_presorted(d, jnp.asarray(seg),
