@@ -368,6 +368,7 @@ def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     put = put_fn if put_fn is not None else jax.device_put
+    iterator = iter(iterator)
 
     class _PrefetchError:
         def __init__(self, exc):
@@ -378,8 +379,25 @@ def prefetch_to_device(iterator: Iterator[PointBatch], size: int = 2,
         # exception here would read as a clean (short or empty) epoch, and a
         # zero-batch epoch trains on nothing while reporting loss 0.0
         try:
-            for item in iterator:
-                q.put(put(item))
+            while True:
+                t0 = time.time()
+                try:
+                    item = next(iterator)
+                except StopIteration:
+                    break
+                t1 = time.time()
+                placed = put(item)
+                t2 = time.time()
+                if stats is not None:
+                    # producer-side breakdown (distinct keys from the
+                    # consumer's wait_s, so no cross-thread races matter):
+                    # host_load_s = disk/mmap + batch assembly,
+                    # put_s = host->device placement (on tunneled dev
+                    # environments this is the transfer artifact; on real
+                    # hosts it is PCIe/local)
+                    stats["host_load_s"] = stats.get("host_load_s", 0.0) + (t1 - t0)
+                    stats["put_s"] = stats.get("put_s", 0.0) + (t2 - t1)
+                q.put(placed)
             q.put(sentinel)
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
             q.put(_PrefetchError(e))

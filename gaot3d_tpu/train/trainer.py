@@ -143,6 +143,7 @@ class TrainerBase:
         # batch, and the warm-up wait itself
         self.last_loader_stall_s = 0.0
         self.last_loader_first_wait_s = 0.0
+        self.last_loader_stats: Dict[str, float] = {}
 
         # setup.device selects the JAX backend (the analogue of the
         # reference's cuda device selection, default_set.py:19) — must happen
@@ -895,6 +896,7 @@ class StaticTrainer3D(TrainerBase):
                 loader_stats.get("wait_s", 0.0)
                 - loader_stats.get("first_wait_s", 0.0), 0.0)
             self.last_loader_first_wait_s = loader_stats.get("first_wait_s", 0.0)
+            self.last_loader_stats = dict(loader_stats)
 
             if (epoch + 1) % args.eval_every_eps == 0:
                 train_loss = total_loss / max(nb, 1)
@@ -909,7 +911,9 @@ class StaticTrainer3D(TrainerBase):
                 # parity: optimizers.py:289-302 logs lr and psutil RSS)
                 row = {"train/loss": train_loss, "val/loss": val_loss,
                        "lr": self.current_lr(), "memory": _process_rss_gb(),
-                       "train/loader_stall_s": self.last_loader_stall_s}
+                       "train/loader_stall_s": self.last_loader_stall_s,
+                       "train/loader_host_load_s": self.last_loader_stats.get("host_load_s", 0.0),
+                       "train/loader_put_s": self.last_loader_stats.get("put_s", 0.0)}
                 if pbar is not None:
                     pbar.set_postfix({"loss": train_loss, "val_loss": val_loss})
                 if self.setup_config.wandb_watch_model and self._last_grad_norm is not None:

@@ -317,3 +317,7 @@ def test_prefetch_stats_accounting():
     assert stats["first_wait_s"] >= 0.04
     steady = stats["wait_s"] - stats["first_wait_s"]
     assert steady < 0.03, f"unexpected steady-state stall {steady}"
+    # producer-side breakdown: host_load_s captures the iterator time
+    # (incl. the cold first load), put_s the placement time
+    assert stats["host_load_s"] >= 0.04
+    assert stats["put_s"] >= 0.0
