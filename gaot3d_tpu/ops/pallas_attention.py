@@ -57,7 +57,10 @@ def _bits16_to_keep(bits16, rate: float):
     if rate >= 1.0:
         return jnp.zeros(bits16.shape, dtype=jnp.bool_)
     thresh = np.uint16(min(max(rate, 0.0), 1.0) * 65535.0)
-    return bits16 >= thresh
+    # compare in i32: real Mosaic rejects cmpi on packed i16 vectors
+    # ("Target does not support this comparison", vector<8x128x2xi16>) —
+    # the u16->i32 widen (extui) is supported and the compare is exact
+    return bits16.astype(jnp.int32) >= jnp.int32(thresh)
 
 
 def _draw_keep(pltpu, rate: float, block_q: int, block_k: int, prng16: bool):
