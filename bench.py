@@ -184,10 +184,8 @@ def _pallas_regression_checks() -> dict:
 
         # 16-bit PRNG stream (prng16): no exported-bits twin exists, so check
         # the properties training depends on — determinism, keep rate, and
-        # fwd/bwd mask CONSISTENCY via a vjp dot-test (gradient vs a central
-        # finite-difference directional derivative of the forward; the mask is
-        # input-independent so the FD sees the same fixed piecewise-smooth fn).
-        # Runs unconditionally on TPU (cheap) — ADVICE r3.
+        # fwd/bwd mask CONSISTENCY via a v-linear vjp dot-test. Runs
+        # unconditionally on TPU (cheap) — ADVICE r3.
         f16 = lambda q, k, v: flash_attention_dropout(
             q, k, v, key, 0.1, block_q=bq, block_k=bk, prng16=True)
         o16a, o16b = f16(q, k, v), f16(q, k, v)
@@ -200,18 +198,23 @@ def _pallas_regression_checks() -> dict:
         krate = float(jnp.mean(kept))
         assert abs(krate - 1.0) < 0.02, f"prng16 keep-rate off: {krate}"
         out["prng16_mean"] = krate
-        l16 = loss(f16)
-        g16 = jax.grad(l16, argnums=(0, 1, 2))(q, k, v)
-        dirs = tuple(jnp.asarray(rng.normal(size=a.shape), jnp.float32)
-                     for a in (q, k, v))
-        eps = 1e-2
-        plus = l16(*(a + eps * d for a, d in zip((q, k, v), dirs)))
-        minus = l16(*(a - eps * d for a, d in zip((q, k, v), dirs)))
-        fd = float(plus - minus) / (2 * eps)
-        an = float(sum(jnp.vdot(g, d) for g, d in zip(g16, dirs)))
+        # fwd/bwd mask consistency: the attention output is exactly LINEAR
+        # in v once (q, k, mask) are fixed, so a UNIT-step central difference
+        # in a v-direction equals vdot(grad_v, dv) with no truncation error
+        # and no small-difference cancellation (a small-eps qkv dot-test is
+        # useless here: the bit-exact 32-bit path measures 0.88 rel on it,
+        # pure f32 cancellation noise). In the default fused bwd kernel ONE
+        # _draw_keep feeds dq, dk AND dv, so grad_v matching the forward
+        # mask covers the whole backward. Measured on chip: 9.6e-4 (32-bit
+        # exact path) / 1.6e-3 (prng16) — matmul-grade; a mismatched mask
+        # (independent stream at rate 0.1) would read ~0.3.
+        l16v = lambda v_: jnp.vdot(f16(q, k, v_), do)
+        g16v = jax.grad(l16v)(v)
+        dv = jnp.asarray(rng.normal(size=v.shape), jnp.float32)
+        fd = (float(l16v(v + dv)) - float(l16v(v - dv))) / 2.0
+        an = float(jnp.vdot(g16v, dv))
         vjp_rel = abs(fd - an) / max(abs(fd), 1e-6)
-        # TPU f32 matmuls are single-pass bf16 (CLAUDE.md) -> loose bound
-        assert vjp_rel < 5e-2, f"prng16 bwd mask != fwd mask (vjp dot-test): {vjp_rel}"
+        assert vjp_rel < 1e-2, f"prng16 bwd mask != fwd mask (v-linear dot-test): {vjp_rel}"
         out["prng16_vjp_rel_err"] = vjp_rel
     return out
 
