@@ -650,10 +650,15 @@ def flash_attention_dropout(
         raise ValueError("dropout needs an rng key or explicit bits")
     if prng16 is None:
         # 16-bit PRNG draws halve the in-core RNG generation per tile (the
-        # widest [bq, bk] VPU term of the dropout path); DIFFERENT mask
-        # stream than the default 32-bit draws, so opt-in via env until the
-        # on-chip A/B records a win (tools/microbench_attn.py)
-        prng16 = os.environ.get("GAOT_ATTN_PRNG16", "0") == "1"
+        # widest [bq, bk] VPU term of the dropout path). DEFAULT ON (round-4
+        # on-chip evidence: 26.2 ms of the 47.6 ms dropout overhead per
+        # 10-layer fwd+bwd, tools/microbench_attn.py; determinism + keep rate
+        # + fwd/bwd mask consistency verified by bench's v-linear dot-test).
+        # DIFFERENT mask stream than 32-bit draws — statistically identical
+        # (keep-prob quantization shift < 1.6e-5 at rate 0.1); interpret/bits
+        # paths keep the 32-bit stream. GAOT_ATTN_PRNG16=0 reverts.
+        prng16 = (os.environ.get("GAOT_ATTN_PRNG16", "1") == "1"
+                  and not interpret and block_q % 16 == 0)
     prng16 = bool(prng16) and dropout_bits is None
     if prng16 and block_q % 16:
         # halving rows must leave the [bq/2, bk] int32 draw sublane-aligned
