@@ -55,19 +55,47 @@ def compute_sample_edge_slots(
         p = rescale_new(pos.astype(np.float32), (-1, 1), domain_x)
     else:
         p = rescale(pos.astype(np.float32), (-1, 1))
-    p = jnp.asarray(p, jnp.float32)
     enc_strategy, dec_strategy = parse_neighbor_strategy(magno_config.neighbor_strategy)
     out: Dict[str, np.ndarray] = {}
+    budget = magno_config.slot_budget
+    p_np = np.asarray(p, np.float32)
     for scale_idx, scale in enumerate(magno_config.scales):
         radius = magno_config.gno_radius * scale
         for direction, strategy in (("encoder", enc_strategy), ("decoder", dec_strategy)):
-            slots = build_edge_slots(
-                p, grid, radius, k_neighbors=magno_config.k_neighbors, strategy=strategy
-            )
+            if budget:
+                # store budget-compacted slots (compact_slots order) via the
+                # host builder — at full DrivAerML resolution the uncompacted
+                # stencil window is [8.4M, 144] int32 = 4.8 GB PER DIRECTION
+                # per sample; budget-5 storage is 0.17 GB. The native builder
+                # silently drops overflow beyond the budget, so build ONE
+                # extra probe slot and refuse if it is ever valid (the same
+                # honesty contract as the trainer's slot_budget guard).
+                from ..ops.grid_graph import build_edge_slots_host
+
+                lat, msk = build_edge_slots_host(
+                    p_np, grid, radius, k_neighbors=magno_config.k_neighbors,
+                    strategy=strategy, budget=budget + 1,
+                )
+                if lat.shape[1] > budget:  # window K may already be <= budget
+                    if msk[:, budget].any():
+                        deg = int(msk[:, budget].sum())
+                        raise ValueError(
+                            f"slot_budget={budget} drops edges for {deg} points "
+                            f"({direction}, scale {scale_idx}): raise slot_budget"
+                        )
+                    lat, msk = lat[:, :budget], msk[:, :budget]
+                lat_idx, mask = lat, msk
+            else:
+                slots = build_edge_slots(
+                    jnp.asarray(p, jnp.float32), grid, radius,
+                    k_neighbors=magno_config.k_neighbors, strategy=strategy,
+                )
+                lat_idx = np.asarray(slots.lat_idx, np.int32)
+                mask = np.asarray(slots.mask)
             ikey, mkey = _slot_keys(direction, scale_idx)
-            out[ikey] = np.asarray(slots.lat_idx, np.int32)
-            out[mkey] = np.packbits(np.asarray(slots.mask), axis=-1)
-            out[mkey + "_K"] = np.asarray(slots.mask.shape[-1], np.int32)
+            out[ikey] = np.ascontiguousarray(lat_idx, np.int32)
+            out[mkey] = np.packbits(mask, axis=-1)
+            out[mkey + "_K"] = np.asarray(mask.shape[-1], np.int32)
     return out
 
 

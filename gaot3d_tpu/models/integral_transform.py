@@ -107,6 +107,9 @@ class IntegralTransform(nn.Module):
     # computed arithmetically from the slot index (no per-edge HBM gather)
     kernel_dtype: str = "float32"  # 'bfloat16' runs the per-edge kernel MLP
     # matmuls on the MXU in bf16 (f32 accumulation)
+    payload_layout: str = "nk"  # decoder chunk-body shapes: 'nk' (4D
+    # [B,n,K,d] intermediates) | 'flat' ([B,n*K,d] 2D-tiled throughout;
+    # see _decoder_chunk_2d / MAGNOConfig.payload_layout)
 
     def setup(self):
         sizes = list(self.channel_mlp_layers)
@@ -206,6 +209,37 @@ class IntegralTransform(nn.Module):
             return jnp.sum(vals * w[..., None].astype(vals.dtype), axis=2)
         msk = mask_c[..., None]
         total = jnp.sum(jnp.where(msk, vals, 0.0), axis=2)
+        count = jnp.maximum(mask_c.sum(axis=-1, keepdims=True), 1)
+        return total / count.astype(vals.dtype)
+
+    def _decoder_chunk_2d(self, latent_pos, src_feats, pos_c, lat_idx_c, mask_c):
+        """payload_layout='flat' twin of _decoder_chunk (no-attention tail):
+        identical math, but every intermediate lives at [B, n*K, d] — the 4D
+        [n, K, d] shapes exist only as the bitcast reshape feeding the final
+        K-axis sum, so XLA cannot pick convolution-style transposed layouts
+        mid-body and the profiled [n,K,C]<->[n*K,C] relayout copies (round-3
+        per-HLO profile: ~9.5% of device time, VERDICT r3 item 3) vanish.
+        Bit-identical output (same ops on the same rows in the same order;
+        asserted by tests/test_models.py)."""
+        B, n, K = lat_idx_c.shape
+        D = pos_c.shape[-1]
+        nk = n * K
+        ids = lat_idx_c.reshape(B, nk)
+        msk = mask_c.reshape(B, nk)
+        if self.grid is not None:
+            lat_pos_e = self.grid.positions_from_idx(ids, dtype=pos_c.dtype)
+        else:
+            lat_pos_e = latent_pos[ids]
+        pt_pos_e = jnp.broadcast_to(pos_c[:, :, None, :], (B, n, K, D)).reshape(B, nk, D)
+        src_feat_e = None
+        if src_feats is not None:
+            from ..ops.segment import gather_table
+
+            src_feat_e = jax.vmap(
+                lambda t, i: gather_table(t, i, jnp.ones(i.shape, bool))
+            )(src_feats, ids)
+        vals = self._edge_values(lat_pos_e, pt_pos_e, src_feat_e)
+        total = jnp.where(msk[..., None], vals, 0.0).reshape(B, n, K, -1).sum(2)
         count = jnp.maximum(mask_c.sum(axis=-1, keepdims=True), 1)
         return total / count.astype(vals.dtype)
 
@@ -322,7 +356,12 @@ class IntegralTransform(nn.Module):
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         if direction == "decoder":
-            body = maybe_ckpt(partial(self._decoder_chunk, latent_pos, src_feats))
+            chunk_fn = (
+                self._decoder_chunk_2d
+                if (self.payload_layout == "flat" and not self.use_attn)
+                else self._decoder_chunk
+            )
+            body = maybe_ckpt(partial(chunk_fn, latent_pos, src_feats))
             if chunk == N:
                 return body(point_pos, slots.lat_idx, slots.mask)
             pos_c, nc = reshape_chunks(point_pos, chunk)

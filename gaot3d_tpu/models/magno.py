@@ -512,6 +512,7 @@ class MAGNODecoder(nn.Module):
                 segment_impl=cfg.segment_impl,
                 grid=self.grid,
                 kernel_dtype=cfg.kernel_dtype,
+                payload_layout=cfg.payload_layout,
             )
             if use_geo:
                 geoembed = GeometricEmbedding(

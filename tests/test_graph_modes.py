@@ -74,6 +74,35 @@ def test_three_graph_modes_agree(tmp_path):
     np.testing.assert_allclose(pre, device, rtol=1e-5)
 
 
+def test_precompute_budget_storage_matches_device_compaction(tmp_path):
+    """With slot_budget set, the precompute sweep stores budget-compacted
+    slots (host builder, [N, budget] on disk — at 8M nodes the uncompacted
+    window is 4.8 GB/direction) while the device mode builds the full window
+    and compacts on device. Both must produce the identical model."""
+    budget = {"magno": {"slot_budget": 6}}
+    device = _run_cfg(tmp_path, budget, "device_b")
+    pre = _run_cfg(tmp_path, {"dataset": {"update_pt_files_with_edges": True},
+                              **budget}, "pre_b")
+    np.testing.assert_allclose(pre, device, rtol=1e-5)
+
+
+def test_precompute_budget_overflow_refused():
+    """A slot_budget below the true max degree must REFUSE at precompute time
+    (the native builder silently drops overflow; the probe-slot guard turns
+    that into an error) — never silently train on a truncated graph."""
+    from gaot3d_tpu.models.magno import MAGNOConfig
+    from gaot3d_tpu.metadata import DATASET_METADATA
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    magno = MAGNOConfig(gno_radius=0.9, neighbor_strategy="bidirectional",
+                        slot_budget=1)
+    grid = LatentGrid(dims=(4, 4, 4))
+    meta = DATASET_METADATA["synthetic/unit_cube"]
+    with pytest.raises(ValueError, match="slot_budget"):
+        compute_sample_edge_slots(pos, grid, magno, False, meta.domain_x)
+
+
 def test_precompute_sweep_writes_slots(tmp_path):
     root = str(tmp_path / "sweep")
     cfg = DatasetConfig(
