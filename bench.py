@@ -205,16 +205,17 @@ def _pallas_regression_checks() -> dict:
         # useless here: the bit-exact 32-bit path measures 0.88 rel on it,
         # pure f32 cancellation noise). In the default fused bwd kernel ONE
         # _draw_keep feeds dq, dk AND dv, so grad_v matching the forward
-        # mask covers the whole backward. Measured on chip: 9.6e-4 (32-bit
-        # exact path) / 1.6e-3 (prng16) — matmul-grade; a mismatched mask
-        # (independent stream at rate 0.1) would read ~0.3.
+        # mask covers the whole backward. Measured on chip: 9.6e-4 - 1.3e-2
+        # depending on block shape (bf16-grade matmuls; fd is a difference of
+        # two O(|l|) losses) — a mismatched mask (independent stream at rate
+        # 0.1) would read ~0.3, an order of magnitude above the 5e-2 bound.
         l16v = lambda v_: jnp.vdot(f16(q, k, v_), do)
         g16v = jax.grad(l16v)(v)
         dv = jnp.asarray(rng.normal(size=v.shape), jnp.float32)
         fd = (float(l16v(v + dv)) - float(l16v(v - dv))) / 2.0
         an = float(jnp.vdot(g16v, dv))
         vjp_rel = abs(fd - an) / max(abs(fd), 1e-6)
-        assert vjp_rel < 1e-2, f"prng16 bwd mask != fwd mask (v-linear dot-test): {vjp_rel}"
+        assert vjp_rel < 5e-2, f"prng16 bwd mask != fwd mask (v-linear dot-test): {vjp_rel}"
         out["prng16_vjp_rel_err"] = vjp_rel
     return out
 
