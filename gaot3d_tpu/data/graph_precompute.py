@@ -126,8 +126,34 @@ def update_sample_files_with_edges(dataset_config, magno_config, grid, metadata)
         seen.add(name)
         npz_path = os.path.join(processed_dir, name + ".npz")
         try:
-            src = npz_path if os.path.exists(npz_path) else os.path.join(processed_dir, name + ".pt")
+            src = npz_path
+            if not os.path.exists(src):
+                # same extension preference as the loader (.gsb mmap first)
+                for ext in (".gsb", ".pt"):
+                    alt = os.path.join(processed_dir, name + ext)
+                    if os.path.exists(alt):
+                        src = alt
+                        break
             sample = load_sample(src)
+            need = [k for d in ("encoder", "decoder")
+                    for s in range(len(magno_config.scales))
+                    for k in _slot_keys(d, s)]
+            have = all(k in sample for k in need)
+            if have and magno_config.slot_budget:
+                # stored K must match the current budget, else recompute (a
+                # changed radius is NOT detectable from the stored arrays —
+                # wipe the processed dir when changing it, like re-running
+                # the reference's precompute after a config change)
+                have = all(
+                    sample[_slot_keys(d, s)[0]].shape[-1]
+                    <= magno_config.slot_budget
+                    for d in ("encoder", "decoder")
+                    for s in range(len(magno_config.scales))
+                )
+            if have:
+                continue  # idempotent sweep: slots already stored (e.g. the
+                # offline tools/gen_synthetic.py ran; at 8M nodes recomputing
+                # costs ~2 min/sample on this host)
             slots = compute_sample_edge_slots(
                 sample["pos"], grid, magno_config,
                 dataset_config.use_rescale_new, metadata.domain_x,
