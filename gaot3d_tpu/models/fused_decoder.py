@@ -43,6 +43,9 @@ class FusedDecoderScale(nn.Module):
     remat: bool = True
     remat_policy: str = "nothing"
     kernel_dtype: str = "float32"  # 'bfloat16': kernel MLP matmuls in bf16
+    payload_layout: str = "nk"  # 'nk' (4D [B,n,K,d] intermediates) | 'flat'
+    # ([B,n*K,d] 2D-tiled GNO body; see _gno_chunk_2d and the fused-encoder
+    # twin _pass_chunk_flat2d for the rationale — VERDICT r3 item 3)
 
     def setup(self):
         sizes = list(self.kernel_layers)
@@ -69,6 +72,8 @@ class FusedDecoderScale(nn.Module):
 
     def _gno_chunk(self, latent_feats, pos_c, lat_idx_c, mask_c):
         """One node chunk -> gno mean [B,n,C] (the ONLY grad-carrying branch)."""
+        if self.payload_layout == "flat":
+            return self._gno_chunk_2d(latent_feats, pos_c, lat_idx_c, mask_c)
         B, n, K = mask_c.shape
         D = self.coord_dim
         lat_pos_e = self.grid.positions_from_idx(lat_idx_c, dtype=pos_c.dtype)
@@ -95,6 +100,40 @@ class FusedDecoderScale(nn.Module):
         cnt = mask_c.sum(axis=-1).astype(jnp.float32)
         n_safe = jnp.maximum(cnt, 1.0)
         return jnp.where(m3, vals, 0.0).sum(2) / n_safe[..., None]
+
+    def _gno_chunk_2d(self, latent_feats, pos_c, lat_idx_c, mask_c):
+        """payload_layout='flat' twin of _gno_chunk: identical math, but every
+        intermediate lives at [B, n*K, d] — the 4D [n, K, d] shapes exist only
+        as the bitcast reshape feeding the final K-axis sum, so XLA cannot
+        pick convolution-style transposed layouts mid-body (the profiled
+        [n,K,C]<->[n*K,C] relayout copies, round-3 per-HLO profile).
+        Bit-identical to the 'nk' body (same ops on the same rows in the same
+        order; asserted by tests/test_models.py)."""
+        B, n, K = mask_c.shape
+        D = self.coord_dim
+        nk = n * K
+        ids = lat_idx_c.reshape(B, nk)
+        lat_pos_f = self.grid.positions_from_idx(ids, dtype=pos_c.dtype)
+        pt_pos_f = jnp.broadcast_to(
+            pos_c[:, :, None, :], (B, n, K, D)).reshape(B, nk, D)
+
+        from ..ops.segment import gather_table
+
+        lat_feat_f = jax.vmap(
+            lambda t, i: gather_table(t, i, jnp.ones(i.shape, bool))
+        )(latent_feats, ids)  # [B, nk, C]
+
+        agg = jnp.concatenate([lat_pos_f, pt_pos_f], axis=-1)
+        if self.transform_type in ("nonlinear", "nonlinear_kernelonly"):
+            agg = jnp.concatenate([agg, lat_feat_f], axis=-1)
+        vals = self._kernel_mlp(agg.reshape(-1, agg.shape[-1]))
+        vals = vals.reshape(B, nk, -1)
+        if self.transform_type != "nonlinear_kernelonly":
+            vals = vals * lat_feat_f
+        vals = jnp.where(mask_c.reshape(B, nk)[..., None], vals, 0.0)
+        cnt = mask_c.sum(axis=-1).astype(jnp.float32)
+        n_safe = jnp.maximum(cnt, 1.0)
+        return vals.reshape(B, n, K, -1).sum(2) / n_safe[..., None]
 
     def _geo_chunk(self, pos_c, lat_idx_c, mask_c):
         """Statistical geoembed feats [B,n,3+2D] — PURE GEOMETRY: depends only

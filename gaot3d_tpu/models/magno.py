@@ -498,6 +498,7 @@ class MAGNODecoder(nn.Module):
                 remat=parse_remat(cfg.remat)[1],
                 remat_policy=cfg.remat_policy,
                 kernel_dtype=cfg.kernel_dtype,
+                payload_layout=cfg.payload_layout,
             )
         else:
             gno = IntegralTransform(

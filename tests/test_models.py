@@ -554,9 +554,14 @@ def test_payload_layout_flat_bit_identical():
     pos = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)), jnp.float32)
     feats = jnp.asarray(rng.normal(size=(2, 64, 2)), jnp.float32)
     mask = jnp.asarray(rng.random((2, 64)) < 0.9)
-    for transform in ("linear", "nonlinear"):
-        kw = dict(use_geoembed=[True, False], fused_encoder=True,
-                  edge_chunk_size=16, in_gno_transform_type=transform)
+    for transform, dec_geo in (("linear", False), ("nonlinear", False),
+                               ("nonlinear", True)):
+        # dec_geo=True selects FusedDecoderScale (decoder GNO + statistical
+        # geoembed in one pass) — its _gno_chunk_2d twin must be bit-identical
+        # too; dec_geo=False covers the fused-head IntegralTransform path
+        kw = dict(use_geoembed=[True, dec_geo], fused_encoder=True,
+                  edge_chunk_size=16, in_gno_transform_type=transform,
+                  out_gno_transform_type=transform)
         m_nk = tiny_model(payload_layout="nk", **kw)
         m_fl = tiny_model(payload_layout="flat", **kw)
         params = m_nk.init({"params": jax.random.key(0)}, pos, feats, mask)
