@@ -897,6 +897,17 @@ class StaticTrainer3D(TrainerBase):
                 - loader_stats.get("first_wait_s", 0.0), 0.0)
             self.last_loader_first_wait_s = loader_stats.get("first_wait_s", 0.0)
             self.last_loader_stats = dict(loader_stats)
+            if self.is_main:
+                # stall ≈ 0 proves the loader sustains the device step rate
+                # (the 8M precomputed-pipeline record, VERDICT r3 item 8);
+                # host_load = disk/mmap + assembly, put = host->device
+                logger.info(
+                    "epoch %d loader: stall %.3fs (first wait %.3fs), "
+                    "host_load %.3fs, put %.3fs, epoch wall %.2fs",
+                    epoch, self.last_loader_stall_s,
+                    self.last_loader_first_wait_s,
+                    loader_stats.get("host_load_s", 0.0),
+                    loader_stats.get("put_s", 0.0), time.time() - t0)
 
             if (epoch + 1) % args.eval_every_eps == 0:
                 train_loss = total_loss / max(nb, 1)
@@ -950,6 +961,14 @@ class StaticTrainer3D(TrainerBase):
             "valid": {"loss": val_losses, "epoch": val_epochs},
             "best": {"epoch": best_epoch, "loss": float(best_loss)},
             "time": time_total,
+            # last-epoch data-pipeline accounting (steady-state stall ≈ 0
+            # means the loader keeps up with the device step rate)
+            "loader": {
+                "stall_s": self.last_loader_stall_s,
+                "first_wait_s": self.last_loader_first_wait_s,
+                "host_load_s": self.last_loader_stats.get("host_load_s", 0.0),
+                "put_s": self.last_loader_stats.get("put_s", 0.0),
+            },
         }
 
     def validate(self, loader) -> float:
