@@ -510,6 +510,9 @@ class StaticTrainer3D(TrainerBase):
         # (each probe slot build costs ~26s/500K nodes on the numpy fallback)
         test_ds = MeshDataset(dataset_config, "test")
         probe_sample = pre(test_ds[0])
+        # per-sample node count (pre-padding): drives the host-staged-prefetch
+        # decision in optimize() — see _host_stage_batches
+        self._probe_num_nodes = int(probe_sample["pos"].shape[0])
         probe_masks = {}
         if (dataset_config.use_metadata_stats and "c" in probe_sample
                 and "c_mean" not in self.stats):
@@ -807,6 +810,29 @@ class StaticTrainer3D(TrainerBase):
             logger.info("format harvest skipped: %s: %s", type(e).__name__, e)
             cache[key] = False
 
+    def _host_stage_batches(self) -> bool:
+        """Whether the train loop should keep batches on HOST until consumed.
+
+        The double-buffered prefetch keeps 2-3 batches device-resident
+        (queue maxsize + the in-flight put) on top of the train step's temp
+        HBM. At DrivAerML full resolution that OOMs one chip: the 8M-node
+        step alone peaks at ~14.5 of 15.75 GB (v5e), each batch is ~0.6 GB,
+        and the failure surfaces asynchronously at the epoch-end loss sync
+        (observed RESOURCE_EXHAUSTED, round 4). Above the threshold the
+        prefetcher only stages host arrays (device placement happens inside
+        train_step) and the loop value-syncs every step, so exactly ONE
+        batch is device-resident at a time. Host-load/compute overlap is
+        preserved — only the placement moves. GAOT_HOST_STAGE=always|never
+        overrides; GAOT_HOST_STAGE_NODES tunes the auto threshold."""
+        mode = os.environ.get("GAOT_HOST_STAGE", "auto")
+        if mode == "always":
+            return True
+        if mode == "never":
+            return False
+        per_batch = getattr(self, "_probe_num_nodes", 0) * max(
+            1, getattr(self.dataset_config, "batch_size", 1))
+        return per_batch >= int(os.environ.get("GAOT_HOST_STAGE_NODES", str(4_000_000)))
+
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
         batch = self._device_put_batch(batch)
@@ -864,6 +890,12 @@ class StaticTrainer3D(TrainerBase):
                 pbar = tqdm(total=args.epoch, desc="train")
             except Exception:  # pragma: no cover
                 pbar = None
+        host_stage = self._host_stage_batches()
+        if host_stage and self.is_main:
+            logger.info(
+                "host-staged prefetch: batches stay on host until consumed; "
+                "per-step sync keeps ONE batch device-resident (see "
+                "_host_stage_batches)")
         for epoch in range(args.epoch):
             self.train_loader.set_epoch(epoch)
             profiling = bool(profile_dir) and epoch == self.setup_config.profile_epoch
@@ -872,11 +904,21 @@ class StaticTrainer3D(TrainerBase):
             t0 = time.time()
             loader_stats: Dict = {}
             for batch in prefetch_to_device(iter(self.train_loader),
-                                            put_fn=self._device_put_batch,
+                                            put_fn=(lambda b: b) if host_stage
+                                            else self._device_put_batch,
                                             stats=loader_stats):
                 if profiling and nb == 0:
                     jax.profiler.start_trace(profile_dir)
                 loss = self.train_step(batch)
+                if host_stage:
+                    # hard completion barrier BY VALUE FETCH (axon's
+                    # block_until_ready returns early on arg-passing
+                    # programs — bench.py documents the trap): frees this
+                    # batch's device buffers before the next put. np.float32
+                    # keeps the epoch-loss accumulation IEEE-f32, bitwise
+                    # identical to the on-device scalar chain of the
+                    # non-staged path (python-float += would round in f64)
+                    loss = np.float32(np.asarray(loss))
                 total_loss += loss  # device scalar; block at epoch end only
                 nb += 1
                 if profiling and nb == self.setup_config.profile_steps:

@@ -260,6 +260,22 @@ def test_loss_scale_scales_gradients_not_reported_loss(tmp_path, monkeypatch):
                                rtol=1e-6)
 
 
+def test_host_staged_prefetch_identical(tmp_path, monkeypatch):
+    """GAOT_HOST_STAGE=always (host-staged prefetch + per-step value sync —
+    the >=4M-node OOM guard, one device-resident batch) must produce the
+    bitwise-identical training trajectory: only buffer residency timing
+    changes, not math or RNG threading. Also checks the loader stats are
+    still accounted (stall key present in optimize()'s return)."""
+    r1 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "a", monkeypatch,
+              overrides={"optimizer": {"args": {"epoch": 2}}, "setup": {"test": False}})[1]
+    monkeypatch.setenv("GAOT_HOST_STAGE", "always")
+    r2 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "b", monkeypatch,
+              overrides={"optimizer": {"args": {"epoch": 2}}, "setup": {"test": False}})[1]
+    assert r1["train"]["loss"] == r2["train"]["loss"]
+    assert r1["valid"]["loss"] == r2["valid"]["loss"]
+    assert "stall_s" in r2["loader"]
+
+
 def test_training_determinism(tmp_path, monkeypatch):
     """Same seed -> bitwise-identical training trajectory (functional RNG;
     stronger than the reference's cudnn.deterministic best-effort)."""
