@@ -793,9 +793,12 @@ class StaticTrainer3D(TrainerBase):
     def _maybe_harvest_formats(self, cache: dict, batch: PointBatch, lower) -> None:
         """Capture ``compiled.input_formats`` of a jitted step so subsequent
         same-shape batches are placed in the layouts the program expects.
-        Runs once per padded shape, after the step ran (so the compilation
-        cache is warm); gated on batch size and overridable via
-        GAOT_LAYOUT_HARMONIZE=always|never|auto."""
+        Runs once per padded shape, BEFORE the first execution: the
+        unharmonized first dispatch would allocate per-arg relayout copies
+        ON DEVICE on top of the step's temp HBM (an OOM at 8M nodes, round
+        4); the explicit compile seeds the persistent compilation cache, so
+        the jit dispatch right after compiles from disk. Gated on batch size
+        and overridable via GAOT_LAYOUT_HARMONIZE=always|never|auto."""
         key = self._format_key(batch)
         if key in cache:
             return
@@ -843,12 +846,23 @@ class StaticTrainer3D(TrainerBase):
                 self._train_step, self.mesh, shard_nodes=self._shard_nodes,
                 example_batch=batch,
             )
+        # harvest BEFORE the first execution: the jit dispatch relayouts
+        # every arg whose layout mismatches the compiled entry layouts, and
+        # those relayout copies are DEVICE allocations made on top of the
+        # step's temp HBM — at 8M nodes (step temp ~14.5 of 15.75 GB, v5e)
+        # the first, unharmonized step OOMs the chip (observed, round 4).
+        # The explicit lower().compile() lands in the persistent compilation
+        # cache, so the jit call right after compiles from disk — same total
+        # compile cost as the old harvest-after-step-1 order.
+        if self._format_key(batch) not in self._batch_formats:
+            self._maybe_harvest_formats(
+                self._batch_formats, batch,
+                lambda: self._jit_train_step.lower(self.state, batch, step_rng))
+            if self._batch_formats.get(self._format_key(batch)):
+                batch = self._device_put_batch(batch)  # re-put in entry layouts
         self.state, loss, self._last_grad_norm = self._jit_train_step(
             self.state, batch, step_rng
         )
-        self._maybe_harvest_formats(
-            self._batch_formats, batch,
-            lambda: self._jit_train_step.lower(self.state, batch, step_rng))
         return loss
 
     def eval_step(self, batch: PointBatch):
@@ -863,11 +877,16 @@ class StaticTrainer3D(TrainerBase):
                 self._eval_step, self.mesh, shard_nodes=self._shard_nodes,
                 example_batch=batch,
             )
-        out = self._jit_eval_step(self.state.params, batch)
-        self._maybe_harvest_formats(
-            self._eval_batch_formats, batch,
-            lambda: self._jit_eval_step.lower(self.state.params, batch))
-        return out
+        # harvest before the first execution (see train_step: the dispatch
+        # relayout copies of an unharmonized first call are device
+        # allocations; eval temp is smaller but the same hazard applies)
+        if self._format_key(batch) not in self._eval_batch_formats:
+            self._maybe_harvest_formats(
+                self._eval_batch_formats, batch,
+                lambda: self._jit_eval_step.lower(self.state.params, batch))
+            if self._eval_batch_formats.get(self._format_key(batch)):
+                batch = self._device_put_eval_batch(batch)
+        return self._jit_eval_step(self.state.params, batch)
 
     # -- loops -----------------------------------------------------------------
     def optimize(self) -> Dict:
