@@ -127,6 +127,15 @@ class BatchLoader:
         cache_put=None,  # callable(PointBatch)->PointBatch applied before caching
         # (trainers pass their device/mesh placement so cached entries live in
         # HBM; DatasetConfig.device_cache documents the trade-offs)
+        host_arrays: bool = False,  # assemble NUMPY batches (host-staged mode)
+        # At DrivAerML scale (>=4M nodes/batch) the default jnp assembly puts
+        # every batch in HBM from the producer thread, so the prefetch queue
+        # keeps 2-4 batches device-resident on top of the train step's temp
+        # HBM — an OOM at 8M nodes on one v5e chip (observed, round 4: the
+        # producer races ahead during the 15-min first compile and stages the
+        # whole epoch). host_arrays keeps batches on HOST; the trainer's
+        # per-step put places exactly ONE batch on device, directly in the
+        # compiled entry layouts.
     ):
         self.dataset = dataset
         self.preprocessor = preprocessor
@@ -152,6 +161,12 @@ class BatchLoader:
         if "flat" in self.edge_layout and slot_mode == "device":
             raise ValueError("edge_layout 'flat' needs host-built slots "
                              "(slot_mode 'async' or 'precomputed')")
+        if host_arrays and device_cache:
+            raise ValueError(
+                "host_arrays and device_cache are mutually exclusive: the "
+                "device cache keeps batches HBM-resident, which is exactly "
+                "what host staging exists to avoid")
+        self.host_arrays = host_arrays
         self.device_cache = device_cache
         self.cache_put = cache_put
         self._dcache: Dict[tuple, PointBatch] = {}
@@ -240,6 +255,20 @@ class BatchLoader:
 
             enc_np = pad_slots_np("encoder")
             dec_np = pad_slots_np("decoder")
+            # alias bitwise-identical directions: for symmetric recipes
+            # (same strategy/radius/grid both ways — e.g. the DrivAerNet
+            # bidirectional r=0.033 recipe) the encoder and decoder slots are
+            # the SAME (point, cell) pairs stored twice by the precompute.
+            # Sharing the array halves slot HBM (~210 MiB at 8M nodes) — the
+            # conversion memo below and the id-deduplicating layout put
+            # (utils/layout.put_to_formats) both preserve the aliasing on
+            # device. np.array_equal is a host memcmp (~0.1 s at 8M),
+            # overlapped by the prefetch producer.
+            dec_np = [
+                e if (d[0] is e[0] or np.array_equal(d[0], e[0]))
+                and (d[1] is e[1] or np.array_equal(d[1], e[1])) else d
+                for e, d in zip(enc_np, dec_np)
+            ]
 
             def to_flat(pairs, order):
                 # per-chunk compacted edge lists (FlatEdgeChunks): chunking
@@ -252,13 +281,24 @@ class BatchLoader:
                     flatten_slots_host_batched(
                         idx, msk, chunk, order=order,
                         edges_per_chunk=self.flat_edges_per_chunk,
+                        host_arrays=self.host_arrays,
                     )
                     for idx, msk in pairs
                 )
 
+            conv = (lambda a: a) if self.host_arrays else jnp.asarray
+            slot_memo: Dict[tuple, "EdgeSlots"] = {}
+
             def to_slots(pairs):
-                return tuple(
-                    EdgeSlots(jnp.asarray(i), jnp.asarray(m)) for i, m in pairs)
+                # memo keyed by source-array identity: aliased enc/dec
+                # directions convert to ONE device array, not two copies
+                out = []
+                for i, m in pairs:
+                    key = (id(i), id(m))
+                    if key not in slot_memo:
+                        slot_memo[key] = EdgeSlots(conv(i), conv(m))
+                    out.append(slot_memo[key])
+                return tuple(out)
 
             # layout per side (MAGNOConfig.edge_layout scalar-or-pair)
             enc_layout, dec_layout = self.edge_layout
@@ -269,6 +309,11 @@ class BatchLoader:
             dec_slots = (
                 to_flat(dec_np, "src")  # decoder fold invariant
                 if dec_layout == "flat" else to_slots(dec_np)
+            )
+        if self.host_arrays:
+            return PointBatch(
+                pos=pos, feats=feats, target=target, node_mask=mask,
+                num_nodes=counts, enc_slots=enc_slots, dec_slots=dec_slots,
             )
         return PointBatch(
             pos=jnp.asarray(pos),

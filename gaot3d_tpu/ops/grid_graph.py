@@ -249,6 +249,7 @@ def flatten_slots_host_batched(
     pad_multiple: int = 8192,
     order: str = "src",
     edges_per_chunk: int = 0,
+    host_arrays: bool = False,
 ) -> "FlatEdgeChunks":
     """[B, N, K] slots -> FlatEdgeChunks [B, nc, E] (one shared E across the
     batch — the max per-chunk valid count over all samples, padded; or the
@@ -274,10 +275,11 @@ def flatten_slots_host_batched(
             )
             for p in per
         ]
+    conv = (lambda a: a) if host_arrays else _jnp.asarray
     return FlatEdgeChunks(
-        src=_jnp.asarray(np.stack([p[0] for p in per])),
-        dst=_jnp.asarray(np.stack([p[1] for p in per])),
-        mask=_jnp.asarray(np.stack([p[2] for p in per])),
+        src=conv(np.stack([p[0] for p in per])),
+        dst=conv(np.stack([p[1] for p in per])),
+        mask=conv(np.stack([p[2] for p in per])),
     )
 
 

@@ -581,6 +581,18 @@ class StaticTrainer3D(TrainerBase):
         # entries are placed with the trainer's own put (harvested layouts /
         # mesh sharding) so post-warm epochs re-upload nothing host->device
         dc = bool(getattr(dataset_config, "device_cache", False))
+        # host-staged batches at DrivAerML scale: loaders assemble NUMPY and
+        # the steps place exactly ONE batch on device (in entry layouts).
+        # Without this the assembly's jnp conversion puts every prefetched
+        # batch in HBM from the producer thread — 2-4 resident batches on top
+        # of the step's ~14.5 GB temps OOM'd the 8M single-chip run (round 4)
+        host_stage = self._host_stage_batches()
+        if host_stage and dc:
+            logger.warning(
+                "device_cache disabled: host-staged batches (>= "
+                "GAOT_HOST_STAGE_NODES nodes/batch) must not stay HBM-resident")
+            dc = False
+        common["host_arrays"] = host_stage
         if self.setup_config.train:
             self.train_loader = BatchLoader(
                 train_ds, shuffle=dataset_config.shuffle, drop_last=self.num_processes > 1,
@@ -808,7 +820,21 @@ class StaticTrainer3D(TrainerBase):
             cache[key] = False
             return
         try:
-            cache[key] = lower().compile().input_formats[0][1]
+            compiled = lower().compile()
+            cache[key] = compiled.input_formats[0][1]
+            try:
+                ma = compiled.memory_analysis()
+                gib = 1024.0 ** 3
+                logger.info(
+                    "compiled step memory @%s: args %.2f GiB, out %.2f, "
+                    "temp %.2f, code %.2f, alias %.2f", key,
+                    ma.argument_size_in_bytes / gib,
+                    ma.output_size_in_bytes / gib,
+                    ma.temp_size_in_bytes / gib,
+                    ma.generated_code_size_in_bytes / gib,
+                    ma.alias_size_in_bytes / gib)
+            except Exception:  # pragma: no cover - backend-optional API
+                pass
         except Exception as e:  # pragma: no cover - best-effort optimization
             logger.info("format harvest skipped: %s: %s", type(e).__name__, e)
             cache[key] = False
@@ -838,28 +864,32 @@ class StaticTrainer3D(TrainerBase):
 
     def train_step(self, batch: PointBatch) -> float:
         self.rng, step_rng = jax.random.split(self.rng)
-        batch = self._device_put_batch(batch)
-        if self.mesh is not None and self._jit_train_step is None:
-            from ..parallel import make_sharded_train_step
+        if self.mesh is not None:
+            # mesh path: shard first (make_sharded_train_step derives its
+            # in_shardings pytree from a placed example batch)
+            batch = self._device_put_batch(batch)
+            if self._jit_train_step is None:
+                from ..parallel import make_sharded_train_step
 
-            self._jit_train_step = make_sharded_train_step(
-                self._train_step, self.mesh, shard_nodes=self._shard_nodes,
-                example_batch=batch,
-            )
-        # harvest BEFORE the first execution: the jit dispatch relayouts
-        # every arg whose layout mismatches the compiled entry layouts, and
-        # those relayout copies are DEVICE allocations made on top of the
-        # step's temp HBM — at 8M nodes (step temp ~14.5 of 15.75 GB, v5e)
-        # the first, unharmonized step OOMs the chip (observed, round 4).
-        # The explicit lower().compile() lands in the persistent compilation
-        # cache, so the jit call right after compiles from disk — same total
-        # compile cost as the old harvest-after-step-1 order.
+                self._jit_train_step = make_sharded_train_step(
+                    self._train_step, self.mesh, shard_nodes=self._shard_nodes,
+                    example_batch=batch,
+                )
+        # harvest BEFORE the first placement/execution: the jit dispatch
+        # relayouts every arg whose layout mismatches the compiled entry
+        # layouts, and those relayout copies are DEVICE allocations made on
+        # top of the step's temp HBM — at 8M nodes (step temp ~14.5 of
+        # 15.75 GB, v5e) an unharmonized or double-placed first step OOMs the
+        # chip (observed, round 4). Lowering works from HOST (numpy) batches,
+        # so on the single-chip path the batch goes host->device exactly
+        # ONCE, directly in the compiled entry layouts. The explicit
+        # lower().compile() lands in the persistent compilation cache, so the
+        # jit call right after compiles from disk — same total compile cost.
         if self._format_key(batch) not in self._batch_formats:
             self._maybe_harvest_formats(
                 self._batch_formats, batch,
                 lambda: self._jit_train_step.lower(self.state, batch, step_rng))
-            if self._batch_formats.get(self._format_key(batch)):
-                batch = self._device_put_batch(batch)  # re-put in entry layouts
+        batch = self._device_put_batch(batch)
         self.state, loss, self._last_grad_norm = self._jit_train_step(
             self.state, batch, step_rng
         )
@@ -869,23 +899,25 @@ class StaticTrainer3D(TrainerBase):
         """Mesh-aware eval: batches shard over (data[, node]) exactly like
         training, so evaluation at DrivAerML scale does not OOM one device
         (reference: eval runs through the same DDP wrap, stat.py:552-573)."""
-        batch = self._device_put_eval_batch(batch)
         if self._jit_eval_step is None:
+            batch = self._device_put_eval_batch(batch)
             from ..parallel import make_sharded_eval_step
 
             self._jit_eval_step = make_sharded_eval_step(
                 self._eval_step, self.mesh, shard_nodes=self._shard_nodes,
                 example_batch=batch,
             )
-        # harvest before the first execution (see train_step: the dispatch
-        # relayout copies of an unharmonized first call are device
-        # allocations; eval temp is smaller but the same hazard applies)
+        # harvest before the first placement/execution (see train_step: the
+        # dispatch relayout copies of an unharmonized first call are device
+        # allocations; eval temp is smaller but the same hazard applies, and
+        # host batches go host->device exactly once, in entry layouts)
         if self._format_key(batch) not in self._eval_batch_formats:
+            if self.mesh is not None:
+                batch = self._device_put_eval_batch(batch)  # shard pre-lower
             self._maybe_harvest_formats(
                 self._eval_batch_formats, batch,
                 lambda: self._jit_eval_step.lower(self.state.params, batch))
-            if self._eval_batch_formats.get(self._format_key(batch)):
-                batch = self._device_put_eval_batch(batch)
+        batch = self._device_put_eval_batch(batch)
         return self._jit_eval_step(self.state.params, batch)
 
     # -- loops -----------------------------------------------------------------
@@ -1037,9 +1069,16 @@ class StaticTrainer3D(TrainerBase):
         (parity incl. quirk: stat.py:552-573). Loss accumulates ON DEVICE —
         a single host sync at the end, so the prefetcher keeps the device fed
         (per-batch float() cost one ~27ms tunnel round-trip each)."""
+        host_stage = self._host_stage_batches()
         total = jnp.zeros(())
-        for batch in prefetch_to_device(iter(loader), put_fn=self._device_put_eval_batch):
+        for batch in prefetch_to_device(iter(loader),
+                                        put_fn=(lambda b: b) if host_stage
+                                        else self._device_put_eval_batch):
             _, loss = self.eval_step(batch)
+            if host_stage:
+                # completion barrier by value fetch (see optimize()): keeps
+                # exactly ONE huge eval batch device-resident at a time
+                loss = np.float32(np.asarray(loss))
             total = total + loss
         total = float(total)
         # all-reduce ONLY for sharded loaders (val): the test loader is

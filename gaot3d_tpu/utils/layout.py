@@ -48,14 +48,24 @@ def put_to_formats(tree, formats):
     new_flat = []
     for i, f in enumerate(fmt_flat):
         x, flat[i] = flat[i], None
-        y = cache.get(id(x))
+        # key by (buffer identity, target format): two leaves sharing a
+        # buffer stay shared ONLY when the program wants them in the same
+        # layout — reusing across differing formats would hand the program a
+        # mislaid argument (relayouted again on every call, silently undoing
+        # the harmonization)
+        try:
+            key = (id(x), f)
+            y = cache.get(key)
+        except TypeError:  # unhashable format spec
+            key, y = None, None
         if y is None:
             y = jax.device_put(x, f)
             y.block_until_ready()
             # keying by id() is safe: every source leaf outlives its own
             # lookup (it is alive in `flat` until visited), and ids of dead
             # leaves are never looked up again
-            cache[id(x)] = y
+            if key is not None:
+                cache[key] = y
         new_flat.append(y)
         del x
     return jax.tree.unflatten(treedef, new_flat)

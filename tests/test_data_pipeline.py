@@ -321,3 +321,83 @@ def test_prefetch_stats_accounting():
     # (incl. the cold first load), put_s the placement time
     assert stats["host_load_s"] >= 0.04
     assert stats["put_s"] >= 0.0
+
+
+def test_host_arrays_loader_matches_device_and_aliases_slots(synth_root):
+    """host_arrays=True assembles NUMPY batches (the host-staged-prefetch
+    contract: nothing touches the device until the trainer's single
+    entry-layout put), with values identical to the default device assembly.
+    Bitwise-equal encoder/decoder slot arrays must alias to ONE array in both
+    modes — symmetric recipes (same strategy/radius both directions) store
+    the same (point, cell) pairs twice, ~210 MiB of slot HBM at 8M nodes."""
+    import jax
+
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+
+    def builder(pos):
+        n = pos.shape[0]
+        idx = ((np.arange(n, dtype=np.int32)[:, None] * 3) % 7
+               + np.arange(2, dtype=np.int32))
+        msk = np.ones((n, 2), bool)
+        # distinct-but-equal decoder arrays: assembly must detect + alias
+        return {"encoder": [(idx, msk)], "decoder": [(idx.copy(), msk.copy())]}
+
+    kw = dict(batch_size=2, pad_multiple=64, slot_mode="async",
+              slot_builder=builder, num_scales=1)
+    dev = list(BatchLoader(ds, pre, **kw))
+    host = list(BatchLoader(ds, pre, host_arrays=True, **kw))
+    assert len(dev) == len(host) > 0
+    for d, h in zip(dev, host):
+        for leaf in jax.tree.leaves(h):
+            assert isinstance(leaf, np.ndarray), type(leaf)
+        for leaf in jax.tree.leaves(d):
+            assert not isinstance(leaf, np.ndarray), type(leaf)
+        np.testing.assert_array_equal(np.asarray(d.pos), h.pos)
+        np.testing.assert_array_equal(np.asarray(d.feats), h.feats)
+        np.testing.assert_array_equal(np.asarray(d.target), h.target)
+        np.testing.assert_array_equal(np.asarray(d.num_nodes), h.num_nodes)
+        np.testing.assert_array_equal(
+            np.asarray(d.enc_slots[0].lat_idx), h.enc_slots[0].lat_idx)
+        np.testing.assert_array_equal(
+            np.asarray(d.enc_slots[0].mask), h.enc_slots[0].mask)
+        # equal directions alias to the SAME EdgeSlots object (both modes)
+        assert h.dec_slots[0] is h.enc_slots[0]
+        assert d.dec_slots[0] is d.enc_slots[0]
+
+
+def test_host_arrays_no_alias_when_directions_differ(synth_root):
+    """Asymmetric enc/dec slots must NOT be aliased (correctness guard for
+    the bitwise-equality check)."""
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+
+    def builder(pos):
+        n = pos.shape[0]
+        idx = ((np.arange(n, dtype=np.int32)[:, None] * 3) % 7
+               + np.arange(2, dtype=np.int32))
+        msk = np.ones((n, 2), bool)
+        return {"encoder": [(idx, msk)], "decoder": [(idx + 1, msk)]}
+
+    loader = BatchLoader(ds, pre, batch_size=2, pad_multiple=64,
+                         slot_mode="async", slot_builder=builder,
+                         num_scales=1, host_arrays=True)
+    b = next(iter(loader))
+    assert b.dec_slots[0] is not b.enc_slots[0]
+    np.testing.assert_array_equal(
+        b.dec_slots[0].lat_idx[b.dec_slots[0].mask],
+        b.enc_slots[0].lat_idx[b.enc_slots[0].mask] + 1)
+
+
+def test_host_arrays_rejects_device_cache(synth_root):
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        BatchLoader(ds, pre, batch_size=2, pad_multiple=64,
+                    host_arrays=True, device_cache=True)

@@ -82,3 +82,23 @@ def test_trainer_harvest_gated_by_size(tmp_path, monkeypatch):
     # harvested formats place a batch without error and train_step still runs
     b2 = trainer2._device_put_batch(batch)
     trainer2.train_step(b2)
+
+
+def test_put_to_formats_dedup_is_format_aware():
+    """A shared buffer is reused ONLY when the target formats agree — reusing
+    across differing formats would hand the program a mislaid argument
+    (silently relayouted again on every call). Shardings act as the format
+    spec here (device_put accepts them; CPU layouts are trivial)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = jax.make_mesh((jax.device_count(),), ("d",))
+    x = jnp.arange(float(8 * jax.device_count())).reshape(-1, 8)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("d"))
+
+    out = put_to_formats((x, x, x), (repl, shard, repl))
+    assert out[0] is out[2], "same buffer + same format must stay shared"
+    assert out[0] is not out[1], "same buffer + different format must split"
+    assert out[1].sharding.is_equivalent_to(shard, x.ndim)
+    for o in out:
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(x))

@@ -285,3 +285,20 @@ def test_training_determinism(tmp_path, monkeypatch):
               overrides={"optimizer": {"args": {"epoch": 2}}, "setup": {"test": False}})[1]
     assert r1["train"]["loss"] == r2["train"]["loss"]
     assert r1["valid"]["loss"] == r2["valid"]["loss"]
+
+
+def test_host_staged_precomputed_identical(tmp_path, monkeypatch):
+    """Host staging with PRECOMPUTED slots (the DrivAerML 8M workflow: .gsb
+    loader -> numpy batches -> one entry-layout put per step) must match the
+    device-assembled trajectory bitwise. This is the exact path the 8M
+    single-chip record runs; the round-4 OOM came from the assembly placing
+    every prefetched batch in HBM despite host staging."""
+    common = {"optimizer": {"args": {"epoch": 2}}, "setup": {"test": False},
+              "dataset": {"update_pt_files_with_edges": True}}
+    r1 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "a",
+              monkeypatch, overrides=common)[1]
+    monkeypatch.setenv("GAOT_HOST_STAGE", "always")
+    r2 = _run("configs/examples/synthetic/smoke.yaml", tmp_path / "b",
+              monkeypatch, overrides=common)[1]
+    assert r1["train"]["loss"] == r2["train"]["loss"]
+    assert r1["valid"]["loss"] == r2["valid"]["loss"]
