@@ -59,8 +59,17 @@ def put_to_formats(tree, formats):
         except TypeError:  # unhashable format spec
             key, y = None, None
         if y is None:
+            on_device = isinstance(x, jax.Array)
             y = jax.device_put(x, f)
-            y.block_until_ready()
+            if on_device:
+                # device->device relayout: block so at most ONE extra copy is
+                # transient (source + relayouted copy coexist until done)
+                y.block_until_ready()
+            # host (numpy) sources have no device-side copy to bound — the
+            # destination IS the final buffer, and blocking per leaf would
+            # serialize every transfer behind a full tunnel/PCIe round-trip
+            # (measured: dominated the 8M host-staged step wall). In-flight
+            # transfers are ordered by jax; the consumer's dispatch waits.
             # keying by id() is safe: every source leaf outlives its own
             # lookup (it is alive in `flat` until visited), and ids of dead
             # leaves are never looked up again

@@ -26,16 +26,15 @@ BLOCK = (512, 1024)
 
 
 def make(chain: str, dtype, reps: int, grid: int):
-    c = dtype(0.9)
-    s = dtype(1.111)
-
+    # python-float literals stay weakly typed (no captured f32[] constant,
+    # which pallas_call rejects) and promote to the block dtype
     def kern(x_ref, o_ref):
         acc = x_ref[...]
         for _ in range(reps):  # unrolled: pure VPU work on a VMEM block
             if chain == "exp":
-                acc = jnp.exp(acc * c) - acc
+                acc = jnp.exp(acc * 0.9) - acc
             else:
-                acc = jnp.where(acc > c, acc * s, acc + c)
+                acc = jnp.where(acc > 0.9, acc * 1.111, acc + 0.9)
         o_ref[...] = acc
 
     @jax.jit
