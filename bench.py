@@ -358,9 +358,11 @@ def main():
             cell = np.floor((pos_np[b] + 1) / 2 * (np.asarray(dims) - 1e-6)).astype(np.int64)
             cid = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
             pos_np[b] = pos_np[b][np.argsort(cid, kind="stable")]
+    feats_np = np.asarray(rng.normal(size=(B, N, 3)), np.float32)
+    target_np = np.asarray(rng.normal(size=(B, N, 1)), np.float32)
     pos = jnp.asarray(pos_np)
-    feats = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
-    target = jnp.asarray(rng.normal(size=(B, N, 1)), jnp.float32)
+    feats = jnp.asarray(feats_np)
+    target = jnp.asarray(target_np)
     mask = jnp.ones((B, N), bool)
 
     # Precomputed edge slots (default): mirrors the reference's documented
@@ -385,6 +387,11 @@ def main():
         raise SystemExit(
             "BENCH_EDGE_LAYOUT=flat requires BENCH_PRECOMPUTED=1 "
             "(flat lists are built host-side from precomputed slots)")
+    if not precomputed and os.environ.get("BENCH_DEGREE_SECTIONS", "0") == "1":
+        # same honesty contract as the flat refusal above
+        raise SystemExit(
+            "BENCH_DEGREE_SECTIONS=1 requires BENCH_PRECOMPUTED=1 "
+            "(sections are built host-side from precomputed slots)")
     if precomputed:
         from gaot3d_tpu.ops import LatentGrid
         from gaot3d_tpu.ops.grid_graph import EdgeSlots, build_edge_slots_host
@@ -445,6 +452,39 @@ def main():
                     else [flatten_slots_host_batched(
                         np.stack(lats), np.stack(msks), chunk)]
                 )
+        # BENCH_DEGREE_SECTIONS=1: degree-sectioned slot layout — sort points
+        # ascending by degree (free: the model is node-permutation
+        # equivariant; a real pipeline does it once at preprocessing, like
+        # BENCH_SORT_POINTS) and give each edge-chunk-aligned range its own
+        # K = max degree. 0.575x the slot rows of uniform budget 5 at 500K;
+        # identical math, equal to the uniform layout up to matmul
+        # shape-dependent rounding (ops/grid_graph.py SectionedEdgeSlots).
+        if os.environ.get("BENCH_DEGREE_SECTIONS", "0") == "1":
+            if "flat" in (enc_layout, dec_layout):
+                raise SystemExit(
+                    "BENCH_DEGREE_SECTIONS applies to the slots layout only")
+            from gaot3d_tpu.models.integral_transform import effective_chunk
+            from gaot3d_tpu.ops.grid_graph import (
+                section_slots_by_degree_batched,
+            )
+
+            chunk = effective_chunk(N, magno.edge_chunk_size)
+            perms, sect = section_slots_by_degree_batched(
+                np.stack(lats), np.stack(msks), chunk)
+            for b in range(B):
+                pos_np[b] = pos_np[b][perms[b]]
+                feats_np[b] = feats_np[b][perms[b]]
+                target_np[b] = target_np[b][perms[b]]
+            pos = jnp.asarray(pos_np)
+            feats = jnp.asarray(feats_np)
+            target = jnp.asarray(target_np)
+            enc_slots = [sect]
+            dec_slots = [sect]  # same geometry both directions (as above)
+            rows = sect.num_slot_rows
+            print(f"# degree sections (N,K): "
+                  f"{[tuple(s.lat_idx.shape[1:]) for s in sect.sections]} -> "
+                  f"{rows} slot rows "
+                  f"({rows / (N * (magno.slot_budget or 1)):.3f}x uniform)")
 
     checks = {} if fast else _pallas_regression_checks()
 

@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.eigh3 import eigvalsh3x3_desc
-from ..ops.grid_graph import EdgeSlots, FlatEdgeChunks, LatentGrid
+from ..ops.grid_graph import (
+    EdgeSlots,
+    FlatEdgeChunks,
+    LatentGrid,
+    SectionedEdgeSlots,
+)
 from ..ops.segment import fold_sum, make_segment_fold, segment_sum
 from .integral_transform import effective_chunk, reshape_chunks
 from .mlp import torch_linear_bias_init, torch_linear_kernel_init
@@ -368,13 +373,52 @@ class FusedEncoderScale(nn.Module):
             acc, _ = jax.lax.scan(scan_flat, jnp.zeros((B, M, P)), xs)
             return self._finalize(acc, B, M, C, D)
 
+        if isinstance(slots, SectionedEdgeSlots):
+            # degree-sectioned layout: one scan per section, ONE shared
+            # accumulator threaded through in node order — summation order is
+            # identical to the uniform-K layout on the same permuted inputs
+            # and masked slots contribute exact zeros; outputs match to XLA
+            # matmul shape-dependent rounding (~1e-7: gemms are not bitwise
+            # row-stable across row counts — tests/test_degree_sections.py)
+            if slots.num_nodes != N:
+                raise ValueError(
+                    f"sectioned slots cover {slots.num_nodes} nodes, "
+                    f"points have {N}"
+                )
+            acc = jnp.zeros((B, M, P))
+            off = 0
+            for sec in slots.sections:
+                Ns = int(sec.lat_idx.shape[-2])
+                feats_s = (
+                    lifted_feats[:, off:off + Ns]
+                    if lifted_feats is not None else None
+                )
+                acc = self._run_slotted(
+                    sec, point_pos[:, off:off + Ns], feats_s, M, acc0=acc)
+                off += Ns
+            return self._finalize(acc, B, M, C, D)
+
+        acc = self._run_slotted(slots, point_pos, lifted_feats, M)
+        return self._finalize(acc, B, M, C, D)
+
+    def _run_slotted(self, slots: EdgeSlots, point_pos, lifted_feats, M,
+                     acc0=None):
+        """Chunked scan over one [B, N, K] slot tensor -> moment accumulator
+        [B, M, P] (optionally continuing from acc0 — the sectioned layout
+        threads one accumulator through all sections)."""
+        from .integral_transform import _ckpt
+
+        B, N = point_pos.shape[:2]
         K = slots.mask.shape[-1]
+        P = (self.lifting_channels if self.use_gno else 0) + 2 + self.coord_dim + 6
         chunk = effective_chunk(N, self.edge_chunk_size)
         maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
 
         body = maybe_ckpt(partial(self._pass_chunk, M))
         if chunk == N:
             acc = body(lifted_feats, point_pos, slots.lat_idx, slots.mask, None)
+            if acc0 is not None:
+                acc = acc0 + acc
         else:
             pos_c, nc = reshape_chunks(point_pos, chunk)
             idx_c, _ = reshape_chunks(slots.lat_idx, chunk)
@@ -406,9 +450,10 @@ class FusedEncoderScale(nn.Module):
             xs = (feat_c, pos_c, idx_c, msk_c) if lifted_feats is not None else (pos_c, idx_c, msk_c)
             if ctxs is not None:
                 xs = xs + (ctxs,)
-            acc, _ = jax.lax.scan(scan1, jnp.zeros((B, M, P)), xs)
+            init = acc0 if acc0 is not None else jnp.zeros((B, M, P))
+            acc, _ = jax.lax.scan(scan1, init, xs)
 
-        return self._finalize(acc, B, M, C, D)
+        return acc
 
     def _finalize(self, acc, B, M, C, D):
         """Moment accumulator [B,M,P] -> (gno_out, geo_out); shared by the

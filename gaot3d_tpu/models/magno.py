@@ -26,7 +26,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_graph import EdgeSlots, LatentGrid, build_edge_slots_batched
+from ..ops.grid_graph import (
+    EdgeSlots,
+    LatentGrid,
+    SectionedEdgeSlots,
+    build_edge_slots_batched,
+)
 from ..ops.sampling import cap_per_query_gather, cap_per_query_scatter, dropout_edges
 from .geoembed import GeometricEmbedding
 from .integral_transform import IntegralTransform
@@ -389,6 +394,19 @@ class MAGNOEncoder(nn.Module):
                         "flat edges (sampling_strategy and "
                         "max_radius_neighbors must be None)"
                     )
+            elif isinstance(slots, SectionedEdgeSlots):
+                # degree-sectioned slots (section_slots_by_degree_batched):
+                # budget compaction happened at build time; sampling/caps
+                # refuse like the flat layout (silently skipping them would
+                # diverge from the uniform slotted layout)
+                if not use_fused:
+                    raise ValueError("sectioned slots require the fused encoder")
+                if cfg.sampling_strategy is not None or cfg.max_radius_neighbors is not None:
+                    raise ValueError(
+                        "edge sampling / radius caps are not supported with "
+                        "sectioned slots (sampling_strategy and "
+                        "max_radius_neighbors must be None)"
+                    )
             else:
                 rng = (
                     self.make_rng("edges")
@@ -559,6 +577,15 @@ class MAGNODecoder(nn.Module):
                         "flat edges (sampling_strategy and "
                         "max_radius_neighbors must be None)"
                     )
+            elif isinstance(slots, SectionedEdgeSlots):
+                if use_geo:
+                    raise ValueError("sectioned slots: decoder geoembed unsupported")
+                if cfg.sampling_strategy is not None or cfg.max_radius_neighbors is not None:
+                    raise ValueError(
+                        "edge sampling / radius caps are not supported with "
+                        "sectioned slots (sampling_strategy and "
+                        "max_radius_neighbors must be None)"
+                    )
             else:
                 rng = (
                     self.make_rng("edges")
@@ -607,6 +634,55 @@ class MAGNODecoder(nn.Module):
         from .integral_transform import _ckpt, effective_chunk, reshape_chunks
 
         Nq = query_pos.shape[1]
+        if any(isinstance(s, SectionedEdgeSlots) for s in scale_slots):
+            # degree-sectioned decode: one fused-head scan per section (each
+            # section has its own slot width K), outputs concatenated in node
+            # order. Masked slots contribute exact zeros to the per-node
+            # K-axis reduction; results match the uniform-K layout on the
+            # same permuted inputs up to XLA matmul shape-dependent rounding
+            # (~1e-7; see SectionedEdgeSlots).
+            if not all(isinstance(s, SectionedEdgeSlots) for s in scale_slots):
+                raise ValueError("all scales must share the edge layout")
+            if len(scale_slots) != 1:
+                raise ValueError(
+                    "sectioned slots support a single scale (sections would "
+                    "need one shared node permutation across scales)"
+                )
+            if not cfg.fused_head:
+                raise ValueError("sectioned slots require fused_head=True")
+            if self.is_initializing():
+                raise ValueError(
+                    "sectioned slots must not be passed at init (init on a "
+                    "dummy batch without precomputed slots, like the trainer)"
+                )
+            sslots = scale_slots[0]
+            if sslots.num_nodes != Nq:
+                raise ValueError(
+                    f"sectioned slots cover {sslots.num_nodes} nodes, "
+                    f"queries have {Nq}"
+                )
+            B = query_pos.shape[0]
+            remat_dec = parse_remat(cfg.remat)[1]
+            outs = []
+            off = 0
+            for sec in sslots.sections:
+                Ns = int(sec.lat_idx.shape[-2])
+                chunk_s = effective_chunk(Ns, cfg.edge_chunk_size)
+                pos_cs, _ = reshape_chunks(query_pos[:, off:off + Ns], chunk_s)
+                idx_cs = reshape_chunks(sec.lat_idx, chunk_s)[0]
+                msk_cs = reshape_chunks(sec.mask, chunk_s)[0]
+
+                def body(pos_c, idx_c, msk_c):
+                    dec = gno(EdgeSlots(lat_idx=idx_c, mask=msk_c), pos_c,
+                              latent_pos, latent_feats, direction="decoder")
+                    return head(combine_scales([dec], pos_c))
+
+                body = _ckpt(remat_dec, cfg.remat_policy)(body)
+                out = jax.lax.map(lambda a: body(*a), (pos_cs, idx_cs, msk_cs))
+                outs.append(out.swapaxes(0, 1).reshape(B, Ns, self.out_channels))
+                off += Ns
+            return jnp.concatenate(outs, axis=1)
+
         flat_mode = any(isinstance(s, FlatEdgeChunks) for s in scale_slots)
         if flat_mode:
             if not all(isinstance(s, FlatEdgeChunks) for s in scale_slots):

@@ -155,6 +155,134 @@ class FlatEdgeChunks(NamedTuple):
         return self.src.shape[-1]
 
 
+class SectionedEdgeSlots(NamedTuple):
+    """Degree-sectioned slot layout: contiguous node ranges, each with its
+    own slot width K.
+
+    [N, K=budget] slots at the global budget are only ~48% valid for the
+    DrivAerNet recipe (mean degree 2.4 at budget 5) and masked slots still pay
+    full scatter/gather rows plus kernel-MLP flops — yet the measured budget
+    8 -> 5 cut won +9.9% end-to-end, so slot-row count couples directly to
+    step time. This layout sorts points ascending by degree (host-side,
+    free: the model is permutation-equivariant over nodes) and gives each
+    edge-chunk-aligned node range its own K = that range's max degree; ranges
+    with equal K merge into one section = one scan. For the 500K bench
+    geometry this is 0.575x the slot rows of the uniform budget-5 layout with
+    ZERO extra padding — it keeps the node-aligned broadcasts that made the
+    flat edge layout lose end-to-end (round-3 session-7 verdict) while
+    dropping most of the masked-row waste.
+
+    Masked slots contribute exact zeros to every reduction, compaction is
+    valid-first (compact_slots), and the accumulator threads through sections
+    in node order, so sectioned outputs match the uniform-K layout on the
+    same (permuted) inputs up to XLA matmul shape-dependent rounding only
+    (the kernel MLP runs at [rows, d] with fewer rows; XLA gemms are not
+    bitwise row-stable across shapes — measured ~1e-7 rel on CPU).
+
+    sections[i] covers nodes [sum_<i Ns, ...) of the PERMUTED point arrays;
+    the permutation comes from section_slots_by_degree_np and must also be
+    applied to pos/feats/targets (per sample).
+    """
+
+    sections: Tuple[EdgeSlots, ...]
+
+    @property
+    def num_nodes(self) -> int:
+        return sum(int(s.lat_idx.shape[-2]) for s in self.sections)
+
+    @property
+    def num_slot_rows(self) -> int:
+        return sum(int(s.lat_idx.shape[-2] * s.lat_idx.shape[-1])
+                   for s in self.sections)
+
+
+def section_slots_by_degree_np(lat_idx: np.ndarray, mask: np.ndarray,
+                               chunk: int):
+    """[N, K] budget-compacted slots -> (perm [N], [(lat, msk), ...]) numpy.
+
+    Sorts nodes ascending by valid-slot count (stable), assigns each
+    `chunk`-node group K = its max degree (min 1), and merges contiguous
+    groups with equal K into sections. Requires valid-first packed slots
+    (compact_slots / build_edge_slots_host budget>0 order) — guarded, since
+    truncating non-packed columns would silently drop edges.
+    """
+    N, K = mask.shape
+    if N % chunk != 0:
+        raise ValueError(f"chunk {chunk} must divide N {N}")
+    deg = mask.sum(axis=1)
+    perm = np.argsort(deg, kind="stable").astype(np.int64)
+    lat_p = lat_idx[perm]
+    msk_p = mask[perm]
+    deg_p = deg[perm]
+    nc = N // chunk
+    ks = np.maximum(
+        deg_p.reshape(nc, chunk).max(axis=1), 1
+    ).astype(np.int64)
+    sections = []
+    i = 0
+    while i < nc:
+        j = i
+        while j < nc and ks[j] == ks[i]:
+            j += 1
+        ksec = int(ks[i])
+        lo, hi = i * chunk, j * chunk
+        if bool(msk_p[lo:hi, ksec:].any()):
+            # hard error, not assert: a stripped assert under python -O would
+            # silently prune the graph (same honesty contract as slot_budget)
+            raise ValueError(
+                "slots are not valid-first packed: a row has a valid slot "
+                f"beyond its section width K={ksec} (compact first)"
+            )
+        sections.append((np.ascontiguousarray(lat_p[lo:hi, :ksec]),
+                         np.ascontiguousarray(msk_p[lo:hi, :ksec])))
+        i = j
+    return perm, sections
+
+
+def section_slots_by_degree_batched(
+    lat_idx: np.ndarray, mask: np.ndarray, chunk: int
+) -> Tuple[np.ndarray, "SectionedEdgeSlots"]:
+    """[B, N, K] slots -> (perms [B, N], SectionedEdgeSlots of [B, Ns, Ks]).
+
+    Each sample gets its OWN degree-sort permutation (apply perms[b] to that
+    sample's pos/feats/targets), but the section boundaries and widths are
+    shared across the batch (static shapes): per chunk, K = the max degree
+    over all samples' chunk rows.
+    """
+    import jax.numpy as _jnp
+
+    B, N, K = mask.shape
+    if N % chunk != 0:
+        raise ValueError(f"chunk {chunk} must divide N {N}")
+    deg = mask.sum(axis=2)
+    perms = np.argsort(deg, axis=1, kind="stable").astype(np.int64)
+    rows = np.arange(B)[:, None]
+    lat_p = lat_idx[rows, perms]
+    msk_p = mask[rows, perms]
+    deg_p = deg[rows, perms]
+    nc = N // chunk
+    ks = np.maximum(deg_p.reshape(B, nc, chunk).max(axis=(0, 2)), 1)
+    sections = []
+    i = 0
+    while i < nc:
+        j = i
+        while j < nc and ks[j] == ks[i]:
+            j += 1
+        ksec = int(ks[i])
+        lo, hi = i * chunk, j * chunk
+        if bool(msk_p[:, lo:hi, ksec:].any()):
+            raise ValueError(
+                "slots are not valid-first packed: a row has a valid slot "
+                f"beyond its section width K={ksec} (compact first)"
+            )
+        sections.append(EdgeSlots(
+            lat_idx=_jnp.asarray(np.ascontiguousarray(lat_p[:, lo:hi, :ksec])),
+            mask=_jnp.asarray(np.ascontiguousarray(msk_p[:, lo:hi, :ksec])),
+        ))
+        i = j
+    return perms, SectionedEdgeSlots(sections=tuple(sections))
+
+
 def flatten_slots_host(
     lat_idx: np.ndarray,
     mask: np.ndarray,

@@ -82,7 +82,11 @@ _SMOKE_ENV = {
      "BENCH_FAST": "1", "BENCH_EVAL": "0"},
     # per-side pair (flat encoder + slotted decoder — the inference mix)
     {"BENCH_EDGE_LAYOUT": "flat,slots", "BENCH_FAST": "1", "BENCH_EVAL": "0"},
-], ids=["driver_default_full", "flat_src", "flat_dst", "mixed_enc_flat"])
+    # degree-sectioned slots (node permutation + per-section K): same model,
+    # same loss up to node-order summation rounding
+    {"BENCH_DEGREE_SECTIONS": "1", "BENCH_FAST": "1", "BENCH_EVAL": "0"},
+], ids=["driver_default_full", "flat_src", "flat_dst", "mixed_enc_flat",
+        "degree_sections"])
 def test_bench_smoke_leg(leg):
     env = {**os.environ, **_SMOKE_ENV, **leg}
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -104,6 +108,16 @@ def test_bench_refuses_flat_without_precomputed():
     # slotted layout under the flat label — bench must refuse instead
     env = {**os.environ, **_SMOKE_ENV,
            "BENCH_PRECOMPUTED": "0", "BENCH_EDGE_LAYOUT": "flat"}
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, cwd=REPO, env=env,
+                       timeout=120)
+    assert r.returncode == 1
+    assert "BENCH_PRECOMPUTED=1" in r.stderr
+
+
+def test_bench_refuses_sections_without_precomputed():
+    env = {**os.environ, **_SMOKE_ENV,
+           "BENCH_PRECOMPUTED": "0", "BENCH_DEGREE_SECTIONS": "1"}
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        capture_output=True, text=True, cwd=REPO, env=env,
                        timeout=120)

@@ -1,0 +1,289 @@
+"""Degree-sectioned slot layout (SectionedEdgeSlots) vs the uniform [N, K]
+slots.
+
+Slot rows at the global budget are only ~48% valid for the DrivAerNet recipe
+(mean degree 2.4 at budget 5) and the measured budget 8 -> 5 cut won +9.9%
+end-to-end — slot-row count couples directly to step time. The sectioned
+layout sorts points ascending by degree (host-side; the model is
+node-permutation equivariant) and gives each edge-chunk-aligned node range its
+own K = that range's max degree (0.575x the rows at the 500K bench geometry,
+zero extra padding). These tests pin the layout's semantics vs the uniform
+layout on the same permuted inputs: identical math (masked slots contribute
+exact zeros; compaction is valid-first; the accumulator threads sections in
+node order), equal up to XLA matmul shape-dependent rounding ONLY — gemms are
+not bitwise row-stable across row counts (measured ~1e-7 rel on CPU for the
+same row through the same weights at different row totals), so the assertion
+bound is ULP-grade, not bitwise. Unpermuted baseline: tolerance-level
+(summation order moves).
+"""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaot3d_tpu.models import (
+    AttentionConfig,
+    FFNConfig,
+    MAGNOConfig,
+    TransformerConfig,
+    init_model,
+)
+from gaot3d_tpu.ops import (
+    EdgeSlots,
+    LatentGrid,
+    SectionedEdgeSlots,
+    build_edge_slots_batched,
+)
+from gaot3d_tpu.ops.grid_graph import (
+    compact_slots_np,
+    section_slots_by_degree_batched,
+    section_slots_by_degree_np,
+)
+
+
+def _compacted_slots(rng, N, K_cells=48, max_deg=5):
+    """Random valid-first-packed slots with a spread of degrees 0..max_deg."""
+    deg = rng.integers(0, max_deg + 1, N)
+    lat = rng.integers(0, 64, (N, max_deg)).astype(np.int32)
+    msk = np.arange(max_deg)[None, :] < deg[:, None]
+    return lat, msk
+
+
+def test_section_builder_preserves_edges():
+    rng = np.random.default_rng(3)
+    N, chunk = 128, 16
+    lat, msk = _compacted_slots(rng, N)
+    perm, sections = section_slots_by_degree_np(lat, msk, chunk)
+    # permutation is a bijection over nodes
+    assert sorted(perm.tolist()) == list(range(N))
+    # sections cover N in chunk multiples, widths are max degree per section
+    assert sum(s[0].shape[0] for s in sections) == N
+    off = 0
+    got_edges = set()
+    deg_sorted = msk.sum(1)[perm]
+    for lat_s, msk_s in sections:
+        Ns, Ks = lat_s.shape
+        assert Ns % chunk == 0
+        assert Ks == max(1, int(deg_sorted[off:off + Ns].max()))
+        for i in range(Ns):
+            node = int(perm[off + i])
+            for k in range(Ks):
+                if msk_s[i, k]:
+                    got_edges.add((node, int(lat_s[i, k])))
+        off += Ns
+    want_edges = {
+        (n, int(lat[n, k])) for n in range(N) for k in range(5) if msk[n, k]
+    }
+    assert got_edges == want_edges
+    # fewer slot rows than the uniform layout whenever degrees vary
+    rows = sum(s[0].shape[0] * s[0].shape[1] for s in sections)
+    assert rows < N * 5
+
+
+def test_section_builder_rejects_unpacked():
+    """Non-valid-first slots (a gap before a valid slot) must refuse: column
+    truncation would silently drop the edge."""
+    lat = np.zeros((16, 3), np.int32)
+    msk = np.zeros((16, 3), bool)
+    msk[:, 2] = True  # valid slot in the last column, holes before it
+    with pytest.raises(ValueError, match="valid-first"):
+        section_slots_by_degree_np(lat, msk, 8)
+
+
+def test_section_builder_batched_shared_boundaries():
+    rng = np.random.default_rng(11)
+    B, N, chunk = 3, 64, 8
+    lats, msks = zip(*(_compacted_slots(rng, N) for _ in range(B)))
+    lat, msk = np.stack(lats), np.stack(msks)
+    perms, sect = section_slots_by_degree_batched(lat, msk, chunk)
+    assert isinstance(sect, SectionedEdgeSlots)
+    assert perms.shape == (B, N)
+    assert sect.num_nodes == N
+    # per sample: the edge set is preserved
+    for b in range(B):
+        off = 0
+        got = set()
+        for s in sect.sections:
+            Ns, Ks = s.lat_idx.shape[1:]
+            li = np.asarray(s.lat_idx[b])
+            mi = np.asarray(s.mask[b])
+            for i in range(Ns):
+                node = int(perms[b, off + i])
+                for k in range(Ks):
+                    if mi[i, k]:
+                        got.add((node, int(li[i, k])))
+            off += Ns
+        want = {(n, int(lat[b, n, k])) for n in range(N) for k in range(5)
+                if msk[b, n, k]}
+        assert got == want
+
+
+def _flagship_model(**magno_kw):
+    kw = dict(
+        lifting_channels=8,
+        use_geoembed=[True, False],
+        gno_radius=0.45,
+        neighbor_strategy="bidirectional",
+        in_gno_channel_mlp_hidden_layers=[16, 16],
+        out_gno_channel_mlp_hidden_layers=[16],
+        projection_channels=16,
+        fused_encoder=True,
+        fused_head=True,
+        edge_chunk_size=16,
+    )
+    kw.update(magno_kw)
+    magno = MAGNOConfig(**kw)
+    attn = TransformerConfig(
+        patch_size=2, hidden_size=32, num_layers=2, positional_embedding="absolute",
+        attn_config=AttentionConfig(hidden_size=32, num_heads=4, num_kv_heads=2,
+                                    atten_dropout=0.0),
+        ffn_config=FFNConfig(hidden_size=64),
+    )
+    return init_model(2, 1, "gaot_3d", magno, attn, latent_tokens=(4, 4, 4))
+
+
+def _problem(seed=23, B=2, N=64):
+    rng = np.random.default_rng(seed)
+    pos = np.asarray(rng.uniform(-1, 1, (B, N, 3)), np.float32)
+    feats = np.asarray(rng.normal(size=(B, N, 2)), np.float32)
+    target = np.asarray(rng.normal(size=(B, N, 1)), np.float32)
+    mask = np.ones((B, N), bool)
+    grid = LatentGrid(dims=(4, 4, 4))
+    slots = build_edge_slots_batched(jnp.asarray(pos), grid, 0.45, k_neighbors=1,
+                                     strategy="bidirectional",
+                                     point_mask=jnp.asarray(mask))
+    # budget-compact like the precompute path (valid-first packing is the
+    # sectioning prerequisite)
+    lat_np = np.asarray(slots.lat_idx)
+    msk_np = np.asarray(slots.mask)
+    budget = int(msk_np.sum(axis=2).max())
+    lat_c = np.empty((B, N, budget), np.int32)
+    msk_c = np.empty((B, N, budget), bool)
+    for b in range(B):
+        lat_c[b], msk_c[b] = compact_slots_np(lat_np[b], msk_np[b], budget)
+    return pos, feats, target, mask, lat_c, msk_c
+
+
+def test_sectioned_full_model_matches_permuted_slotted():
+    """Full flagship model (fused encoder + fused decode head): sectioned
+    slots on degree-sorted inputs == uniform-K slots on the SAME permuted
+    inputs, outputs AND grads, to matmul shape-rounding tolerance (the only
+    non-exact ingredient — masked slots contribute exact zeros and the
+    accumulator threading preserves summation order)."""
+    chunk = 16
+    model = _flagship_model()
+    pos, feats, target, mask, lat_c, msk_c = _problem()
+    B, N = pos.shape[:2]
+    perms, sect = section_slots_by_degree_batched(lat_c, msk_c, chunk)
+    assert len(sect.sections) > 1  # the test must actually exercise sections
+
+    rows = np.arange(B)[:, None]
+    pos_p = pos[rows, perms]
+    feats_p = feats[rows, perms]
+    target_p = target[rows, perms]
+    slots_p = EdgeSlots(lat_idx=jnp.asarray(lat_c[rows, perms]),
+                        mask=jnp.asarray(msk_c[rows, perms]))
+
+    base = EdgeSlots(lat_idx=jnp.asarray(lat_c), mask=jnp.asarray(msk_c))
+    params = model.init({"params": jax.random.key(0)}, jnp.asarray(pos),
+                        jnp.asarray(feats), jnp.asarray(mask),
+                        encoder_slots=[base], decoder_slots=[base])
+
+    def loss(p, pos_, feats_, target_, slots_):
+        pred = model.apply(p, jnp.asarray(pos_), jnp.asarray(feats_),
+                           jnp.asarray(mask), encoder_slots=[slots_],
+                           decoder_slots=[slots_])
+        return jnp.sum((pred - jnp.asarray(target_)) ** 2), pred
+
+    (l_u, out_u), g_u = jax.value_and_grad(loss, has_aux=True)(
+        params, pos_p, feats_p, target_p, slots_p)
+    (l_s, out_s), g_s = jax.value_and_grad(loss, has_aux=True)(
+        params, pos_p, feats_p, target_p, sect)
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(float(l_s), float(l_u), rtol=1e-6)
+    chex.assert_trees_all_close(g_s, g_u, atol=1e-4, rtol=1e-4)
+
+    # vs the UNPERMUTED baseline: same up to summation-order f32 noise once
+    # the outputs are unpermuted
+    (l_b, out_b), _ = jax.value_and_grad(loss, has_aux=True)(
+        params, pos, feats, target, base)
+    inv = np.argsort(perms, axis=1)
+    np.testing.assert_allclose(np.asarray(out_s)[rows, inv],
+                               np.asarray(out_b), atol=1e-5)
+    np.testing.assert_allclose(float(l_s), float(l_b), rtol=1e-5)
+
+
+def test_sectioned_eval_matches():
+    """train=False path (the inference bench leg) through sectioned slots."""
+    chunk = 16
+    model = _flagship_model()
+    pos, feats, target, mask, lat_c, msk_c = _problem(seed=31)
+    B, N = pos.shape[:2]
+    perms, sect = section_slots_by_degree_batched(lat_c, msk_c, chunk)
+    rows = np.arange(B)[:, None]
+    slots_p = EdgeSlots(lat_idx=jnp.asarray(lat_c[rows, perms]),
+                        mask=jnp.asarray(msk_c[rows, perms]))
+    base = EdgeSlots(lat_idx=jnp.asarray(lat_c), mask=jnp.asarray(msk_c))
+    params = model.init({"params": jax.random.key(1)}, jnp.asarray(pos),
+                        jnp.asarray(feats), jnp.asarray(mask),
+                        encoder_slots=[base], decoder_slots=[base])
+    out_u = model.apply(params, jnp.asarray(pos[rows, perms]),
+                        jnp.asarray(feats[rows, perms]), jnp.asarray(mask),
+                        encoder_slots=[slots_p], decoder_slots=[slots_p])
+    out_s = model.apply(params, jnp.asarray(pos[rows, perms]),
+                        jnp.asarray(feats[rows, perms]), jnp.asarray(mask),
+                        encoder_slots=[sect], decoder_slots=[sect])
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_sectioned_rejects_unsupported_configs():
+    chunk = 16
+    pos, feats, target, mask, lat_c, msk_c = _problem(seed=37, B=1)
+    perms, sect = section_slots_by_degree_batched(lat_c, msk_c, chunk)
+    base = EdgeSlots(lat_idx=jnp.asarray(lat_c), mask=jnp.asarray(msk_c))
+    posj, featsj, maskj = jnp.asarray(pos), jnp.asarray(feats), jnp.asarray(mask)
+
+    # modular (non-fused) encoder refuses
+    m_mod = _flagship_model(fused_encoder=False)
+    p_mod = m_mod.init({"params": jax.random.key(3)}, posj, featsj, maskj,
+                       encoder_slots=[base], decoder_slots=[base])
+    with pytest.raises(ValueError, match="fused encoder"):
+        m_mod.apply(p_mod, posj, featsj, maskj,
+                    encoder_slots=[sect], decoder_slots=[sect])
+
+    # decoder geoembed refuses
+    m_geo = _flagship_model(use_geoembed=[True, True], fused_head=False)
+    p_geo = m_geo.init({"params": jax.random.key(4)}, posj, featsj, maskj,
+                       encoder_slots=[base], decoder_slots=[base])
+    with pytest.raises(ValueError, match="geoembed"):
+        m_geo.apply(p_geo, posj, featsj, maskj,
+                    encoder_slots=[sect], decoder_slots=[sect])
+
+    # plain decoder tail (fused_head=False) refuses
+    m_plain = _flagship_model(fused_head=False)
+    p_plain = m_plain.init({"params": jax.random.key(5)}, posj, featsj, maskj,
+                           encoder_slots=[base], decoder_slots=[base])
+    with pytest.raises(ValueError, match="fused_head"):
+        m_plain.apply(p_plain, posj, featsj, maskj,
+                      encoder_slots=[sect], decoder_slots=[sect])
+
+    # edge-modifying configs refuse (would silently diverge from uniform)
+    m_cap = _flagship_model(max_radius_neighbors=32)
+    p_cap = m_cap.init({"params": jax.random.key(6)}, posj, featsj, maskj,
+                       encoder_slots=[base], decoder_slots=[base])
+    with pytest.raises(ValueError, match="radius caps"):
+        m_cap.apply(p_cap, posj, featsj, maskj,
+                    encoder_slots=[sect], decoder_slots=[sect])
+
+    # multi-scale refuses (sections would need one shared permutation)
+    m_ms = _flagship_model(scales=[1.0, 2.0])
+    p_ms = m_ms.init({"params": jax.random.key(7)}, posj, featsj, maskj,
+                     encoder_slots=[base, base], decoder_slots=[base, base])
+    with pytest.raises(ValueError, match="single scale"):
+        m_ms.apply(p_ms, posj, featsj, maskj,
+                   encoder_slots=[sect, sect], decoder_slots=[sect, sect])
