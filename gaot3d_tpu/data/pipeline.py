@@ -123,6 +123,9 @@ class BatchLoader:
         edge_chunk_size: Optional[int] = None,  # model chunking (flat layout)
         flat_order: str = "src",  # encoder flat ordering (MAGNOConfig.flat_order)
         flat_edges_per_chunk: int = 0,  # pinned E (MAGNOConfig.flat_edges_per_chunk)
+        sectioned_profile=None,  # pinned per-chunk K list for 'sectioned'
+        # (MAGNOConfig.sectioned_profile; without it the section structure is
+        # derived per batch, and differing batches recompile the step)
         device_cache: bool = False,  # keep built batches resident across epochs
         cache_put=None,  # callable(PointBatch)->PointBatch applied before caching
         # (trainers pass their device/mesh placement so cached entries live in
@@ -158,8 +161,12 @@ class BatchLoader:
         self.edge_chunk_size = edge_chunk_size
         self.flat_order = flat_order
         self.flat_edges_per_chunk = flat_edges_per_chunk
+        self.sectioned_profile = sectioned_profile
         if "flat" in self.edge_layout and slot_mode == "device":
             raise ValueError("edge_layout 'flat' needs host-built slots "
+                             "(slot_mode 'async' or 'precomputed')")
+        if "sectioned" in self.edge_layout and slot_mode == "device":
+            raise ValueError("edge_layout 'sectioned' needs host-built slots "
                              "(slot_mode 'async' or 'precomputed')")
         if host_arrays and device_cache:
             raise ValueError(
@@ -302,14 +309,40 @@ class BatchLoader:
 
             # layout per side (MAGNOConfig.edge_layout scalar-or-pair)
             enc_layout, dec_layout = self.edge_layout
-            enc_slots = (
-                to_flat(enc_np, self.flat_order)
-                if enc_layout == "flat" else to_slots(enc_np)
-            )
-            dec_slots = (
-                to_flat(dec_np, "src")  # decoder fold invariant
-                if dec_layout == "flat" else to_slots(dec_np)
-            )
+            if enc_layout == "sectioned":  # parse guarantees both sides
+                # degree-sectioned layout: ONE shared node permutation per
+                # sample (ascending combined degree, pads last — the
+                # valid-prefix property of padded batches is preserved), one
+                # shared section structure for enc/dec (keeps the aliasing).
+                # The sample arrays are permuted to match.
+                from ..models.integral_transform import effective_chunk
+                from ..ops.grid_graph import section_slots_shared
+
+                if self.num_scales != 1:
+                    raise ValueError(
+                        "edge_layout 'sectioned' supports a single scale")
+                chunkn = effective_chunk(n_pad, self.edge_chunk_size)
+                perms, (enc_sect, dec_sect) = section_slots_shared(
+                    [enc_np[0], dec_np[0]], chunkn, node_mask=mask,
+                    profile=self.sectioned_profile,
+                    host_arrays=self.host_arrays,
+                )
+                rows = np.arange(B)[:, None]
+                pos = np.ascontiguousarray(pos[rows, perms])
+                feats = np.ascontiguousarray(feats[rows, perms])
+                target = np.ascontiguousarray(target[rows, perms])
+                mask = np.ascontiguousarray(mask[rows, perms])
+                enc_slots = (enc_sect,)
+                dec_slots = (dec_sect,)
+            else:
+                enc_slots = (
+                    to_flat(enc_np, self.flat_order)
+                    if enc_layout == "flat" else to_slots(enc_np)
+                )
+                dec_slots = (
+                    to_flat(dec_np, "src")  # decoder fold invariant
+                    if dec_layout == "flat" else to_slots(dec_np)
+                )
         if self.host_arrays:
             return PointBatch(
                 pos=pos, feats=feats, target=target, node_mask=mask,

@@ -161,11 +161,29 @@ class MAGNOConfig:
     # slots per side at batch assembly. Node sharding: the [B, nc, E] chunk
     # axis shards alongside the point axis (src indices are chunk-local),
     # verified exact on the CPU mesh (tests/test_parallel.py).
+    # 'sectioned' (both sides — see parse_edge_layout): degree-sectioned
+    # slots (ops/grid_graph.py SectionedEdgeSlots). The pipeline sorts each
+    # sample's nodes ascending by degree and gives each edge-chunk-aligned
+    # range its own K = its max degree — 0.575x the slot rows of the uniform
+    # budget at the 500K DrivAerNet geometry, keeping the node-aligned
+    # broadcasts the flat layout loses. Requires precomputed/async slots, the
+    # fused encoder, a GNO-only fused-head decoder, a single scale, and no
+    # edge sampling. Node sharding is NOT supported (sections have unequal
+    # node counts).
+    sectioned_profile: Optional[List[int]] = None  # pinned per-chunk K list
+    # for edge_layout='sectioned' (len = padded_N / edge_chunk_size). Without
+    # it the pipeline derives the section structure per batch, and a batch
+    # whose per-chunk max degrees differ recompiles the step (the
+    # flat_edges_per_chunk analogue). Must cover the observed per-chunk max
+    # degree — the builder raises otherwise (edges would be dropped).
 
 
 def parse_edge_layout(edge_layout: Union[str, List[str]]) -> Tuple[str, str]:
-    """scalar-or-pair -> (encoder, decoder) layout, each 'slots' | 'flat'
-    (same polymorphism as neighbor_strategy, reference magno.py:72-91)."""
+    """scalar-or-pair -> (encoder, decoder) layout, each 'slots' | 'flat' |
+    'sectioned' (same polymorphism as neighbor_strategy, reference
+    magno.py:72-91). 'sectioned' must cover BOTH sides: the degree-sort node
+    permutation is a sample-level transform, so a mixed pair would feed one
+    side permuted inputs against unpermuted edges."""
     if isinstance(edge_layout, str):
         pair = (edge_layout, edge_layout)
     elif isinstance(edge_layout, (list, tuple)) and len(edge_layout) == 2:
@@ -175,8 +193,13 @@ def parse_edge_layout(edge_layout: Union[str, List[str]]) -> Tuple[str, str]:
             f"edge_layout must be str or list of length 2, got {edge_layout}"
         )
     for side in pair:
-        if side not in ("slots", "flat"):
+        if side not in ("slots", "flat", "sectioned"):
             raise ValueError(f"unknown edge_layout: {side!r}")
+    if "sectioned" in pair and pair != ("sectioned", "sectioned"):
+        raise ValueError(
+            "edge_layout 'sectioned' applies to both sides (the degree-sort "
+            f"permutation reorders the sample's nodes), got {pair}"
+        )
     return pair
 
 

@@ -239,48 +239,122 @@ def section_slots_by_degree_np(lat_idx: np.ndarray, mask: np.ndarray,
     return perm, sections
 
 
+def section_slots_shared(
+    pairs,
+    chunk: int,
+    node_mask: Optional[np.ndarray] = None,
+    profile=None,
+    host_arrays: bool = False,
+):
+    """Batched degree-sectioning with ONE shared node permutation.
+
+    pairs: list of (lat_idx [B, N, K], mask [B, N, K]) numpy arrays that must
+    all ride the same permutation (e.g. encoder + decoder slots of one
+    sample batch). Returns (perms [B, N] int64, [SectionedEdgeSlots, ...]
+    one per pair, sharing one section structure).
+
+    - Each sample gets its OWN permutation (apply perms[b] to that sample's
+      pos/feats/targets/mask), sorted ascending by the COMBINED degree over
+      all pairs; invalid (padded) nodes sort LAST so the valid-node prefix
+      property of padded batches is preserved (node_mask [B, N]).
+    - Section boundaries/widths are shared across the batch AND across pairs
+      (static shapes): per chunk, K = the max degree over all samples and
+      pairs. `profile` (per-chunk K list, len N//chunk) pins the structure so
+      the compiled step shape stays constant across batches (the
+      flat_edges_per_chunk analogue); it must cover the observed per-chunk
+      max degree or the call raises (edges would be dropped).
+    - Identical pair arrays (enc/dec aliasing) produce the SAME
+      SectionedEdgeSlots object, preserving buffer sharing downstream.
+    """
+    import jax.numpy as _jnp
+
+    B, N, K = pairs[0][1].shape
+    if N % chunk != 0:
+        raise ValueError(f"chunk {chunk} must divide N {N}")
+    nc = N // chunk
+    degs = []
+    uniq = []  # (lat, msk) deduped by identity
+    pair_slot = []  # index into uniq per pair
+    for lat, msk in pairs:
+        if lat.shape != (B, N, msk.shape[-1]) or msk.shape[:2] != (B, N):
+            raise ValueError("all pairs must share [B, N] leading dims")
+        found = None
+        for u, (ul, um) in enumerate(uniq):
+            if lat is ul and msk is um:
+                found = u
+        if found is None:
+            uniq.append((lat, msk))
+            found = len(uniq) - 1
+            degs.append(msk.sum(axis=2))
+        pair_slot.append(found)
+    deg_all = sum(degs[u] for u in range(len(uniq)))
+    kmax_all = sum(u[1].shape[-1] for u in uniq)
+    key = (
+        deg_all if node_mask is None
+        else np.where(node_mask, deg_all, kmax_all + 1)  # pads sort LAST
+    )
+    perms = np.argsort(key, axis=1, kind="stable").astype(np.int64)
+    rows = np.arange(B)[:, None]
+
+    permuted = [(lat[rows, perms], msk[rows, perms]) for lat, msk in uniq]
+    ks_need = np.maximum.reduce([
+        np.maximum(m.sum(axis=2).reshape(B, nc, chunk).max(axis=(0, 2)), 1)
+        for _, m in permuted
+    ])
+    if profile is not None:
+        prof = np.asarray(profile, np.int64)
+        if prof.shape != (nc,):
+            raise ValueError(
+                f"sectioned profile has {prof.shape} entries, need {nc} "
+                f"(one per {chunk}-node chunk)"
+            )
+        if (ks_need > prof).any():
+            # hard error: a too-small pinned K would silently drop edges
+            raise ValueError(
+                f"pinned sectioned profile {prof.tolist()} is below the "
+                f"observed per-chunk max degree {ks_need.tolist()} — edges "
+                "would be dropped"
+            )
+        ks = prof
+    else:
+        ks = ks_need
+
+    conv = (lambda a: a) if host_arrays else _jnp.asarray
+    outs = []
+    for lat_p, msk_p in permuted:
+        sections = []
+        i = 0
+        while i < nc:
+            j = i
+            while j < nc and ks[j] == ks[i]:
+                j += 1
+            ksec = int(ks[i])
+            lo, hi = i * chunk, j * chunk
+            kw = min(ksec, lat_p.shape[-1])
+            if bool(msk_p[:, lo:hi, kw:].any()):
+                raise ValueError(
+                    "slots are not valid-first packed: a row has a valid "
+                    f"slot beyond its section width K={ksec} (compact first)"
+                )
+            li = np.ascontiguousarray(lat_p[:, lo:hi, :kw])
+            mi = np.ascontiguousarray(msk_p[:, lo:hi, :kw])
+            if kw < ksec:  # pinned profile wider than this pair's K: pad
+                padw = ((0, 0), (0, 0), (0, ksec - kw))
+                li = np.pad(li, padw)
+                mi = np.pad(mi, padw)
+            sections.append(EdgeSlots(lat_idx=conv(li), mask=conv(mi)))
+            i = j
+        outs.append(SectionedEdgeSlots(sections=tuple(sections)))
+    return perms, [outs[u] for u in pair_slot]
+
+
 def section_slots_by_degree_batched(
     lat_idx: np.ndarray, mask: np.ndarray, chunk: int
 ) -> Tuple[np.ndarray, "SectionedEdgeSlots"]:
     """[B, N, K] slots -> (perms [B, N], SectionedEdgeSlots of [B, Ns, Ks]).
-
-    Each sample gets its OWN degree-sort permutation (apply perms[b] to that
-    sample's pos/feats/targets), but the section boundaries and widths are
-    shared across the batch (static shapes): per chunk, K = the max degree
-    over all samples' chunk rows.
-    """
-    import jax.numpy as _jnp
-
-    B, N, K = mask.shape
-    if N % chunk != 0:
-        raise ValueError(f"chunk {chunk} must divide N {N}")
-    deg = mask.sum(axis=2)
-    perms = np.argsort(deg, axis=1, kind="stable").astype(np.int64)
-    rows = np.arange(B)[:, None]
-    lat_p = lat_idx[rows, perms]
-    msk_p = mask[rows, perms]
-    deg_p = deg[rows, perms]
-    nc = N // chunk
-    ks = np.maximum(deg_p.reshape(B, nc, chunk).max(axis=(0, 2)), 1)
-    sections = []
-    i = 0
-    while i < nc:
-        j = i
-        while j < nc and ks[j] == ks[i]:
-            j += 1
-        ksec = int(ks[i])
-        lo, hi = i * chunk, j * chunk
-        if bool(msk_p[:, lo:hi, ksec:].any()):
-            raise ValueError(
-                "slots are not valid-first packed: a row has a valid slot "
-                f"beyond its section width K={ksec} (compact first)"
-            )
-        sections.append(EdgeSlots(
-            lat_idx=_jnp.asarray(np.ascontiguousarray(lat_p[:, lo:hi, :ksec])),
-            mask=_jnp.asarray(np.ascontiguousarray(msk_p[:, lo:hi, :ksec])),
-        ))
-        i = j
-    return perms, SectionedEdgeSlots(sections=tuple(sections))
+    Single-pair convenience wrapper over section_slots_shared."""
+    perms, (sect,) = section_slots_shared([(lat_idx, mask)], chunk)
+    return perms, sect
 
 
 def flatten_slots_host(

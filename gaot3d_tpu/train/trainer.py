@@ -484,21 +484,31 @@ class StaticTrainer3D(TrainerBase):
             slot_mode = "precomputed"
             magno_cfg.precompute_edges = True
         elif magno_cfg.asynchronous_graph_building:
-            from ..models.magno import parse_neighbor_strategy
+            from ..models.magno import parse_edge_layout, parse_neighbor_strategy
             from ..ops.grid_graph import build_edge_slots_host as build_edge_slots_np
 
             enc_s, dec_s = parse_neighbor_strategy(magno_cfg.neighbor_strategy)
             grid = self.grid
+            # sectioned layout needs valid-first budget-compacted slots on
+            # the host (section widths truncate K columns); other layouts
+            # keep the raw stencil window and compact on device
+            bud = (
+                (magno_cfg.slot_budget or 0)
+                if "sectioned" in parse_edge_layout(magno_cfg.edge_layout)
+                else 0
+            )
 
             def slot_builder(pos):
                 out = {"encoder": [], "decoder": []}
                 for scale in magno_cfg.scales:
                     r = magno_cfg.gno_radius * scale
                     out["encoder"].append(
-                        build_edge_slots_np(pos, grid, r, magno_cfg.k_neighbors, enc_s)
+                        build_edge_slots_np(pos, grid, r, magno_cfg.k_neighbors,
+                                            enc_s, budget=bud)
                     )
                     out["decoder"].append(
-                        build_edge_slots_np(pos, grid, r, magno_cfg.k_neighbors, dec_s)
+                        build_edge_slots_np(pos, grid, r, magno_cfg.k_neighbors,
+                                            dec_s, budget=bud)
                     )
                 return out
 
@@ -550,6 +560,19 @@ class StaticTrainer3D(TrainerBase):
 
         from ..models.magno import parse_edge_layout
 
+        if "sectioned" in parse_edge_layout(magno_cfg.edge_layout):
+            # degree-sectioned slots need host-built (compacted) slots; the
+            # node permutation happens at batch assembly (data/pipeline.py)
+            if slot_mode == "device":
+                raise ValueError(
+                    "magno.edge_layout='sectioned' requires precomputed or "
+                    "async graph building"
+                )
+            if not magno_cfg.slot_budget:
+                raise ValueError(
+                    "magno.edge_layout='sectioned' requires slot_budget "
+                    "(sections truncate the valid-first compacted K columns)"
+                )
         if "flat" in parse_edge_layout(magno_cfg.edge_layout):
             # flat edge lists need host-built slots and the fused model paths.
             # Node sharding works: flat leaves are [B, nc, E] and the chunk
@@ -576,6 +599,7 @@ class StaticTrainer3D(TrainerBase):
             edge_chunk_size=magno_cfg.edge_chunk_size,
             flat_order=magno_cfg.flat_order,
             flat_edges_per_chunk=magno_cfg.flat_edges_per_chunk or 0,
+            sectioned_profile=getattr(magno_cfg, "sectioned_profile", None),
         )
         # HBM-resident batch caches (DatasetConfig.device_cache): cached
         # entries are placed with the trainer's own put (harvested layouts /

@@ -401,3 +401,103 @@ def test_host_arrays_rejects_device_cache(synth_root):
     with pytest.raises(ValueError, match="mutually exclusive"):
         BatchLoader(ds, pre, batch_size=2, pad_multiple=64,
                     host_arrays=True, device_cache=True)
+
+
+def _varied_degree_builder(pos):
+    """Deterministic valid-first slots with degree spread 0..3 (K=4)."""
+    n = pos.shape[0]
+    deg = (np.arange(n) % 4).astype(np.int64)
+    idx = (((np.arange(n, dtype=np.int32)[:, None] * 5) % 7
+            + np.arange(4, dtype=np.int32)) % 8)
+    msk = np.arange(4)[None, :] < deg[:, None]
+    return {"encoder": [(idx, msk)], "decoder": [(idx, msk)]}
+
+
+def test_sectioned_loader_permutes_and_sections(synth_root):
+    """edge_layout='sectioned': the loader degree-sorts each sample (pads
+    last, valid prefix preserved), permutes pos/feats/target/mask together,
+    builds one shared SectionedEdgeSlots for enc+dec (aliasing preserved),
+    and preserves the per-sample edge set exactly."""
+    from gaot3d_tpu.ops.grid_graph import SectionedEdgeSlots
+
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+    kw = dict(batch_size=2, pad_multiple=64, slot_mode="async",
+              slot_builder=_varied_degree_builder, num_scales=1,
+              edge_chunk_size=32, host_arrays=True)
+    slotted = list(BatchLoader(ds, pre, **kw))
+    sectioned = list(BatchLoader(ds, pre, edge_layout="sectioned", **kw))
+    assert len(slotted) == len(sectioned) > 0
+    for s0, s1 in zip(slotted, sectioned):
+        B, N = s0.pos.shape[:2]
+        sect = s1.enc_slots[0]
+        assert isinstance(sect, SectionedEdgeSlots)
+        assert s1.dec_slots[0] is sect  # symmetric directions stay aliased
+        assert sect.num_nodes == N
+        assert sect.num_slot_rows < N * 4  # degree spread -> fewer rows
+        # valid-node prefix preserved (pads sort last)
+        for b in range(B):
+            nv = int(s0.node_mask[b].sum())
+            assert int(s1.node_mask[b].sum()) == nv
+            assert s1.node_mask[b, :nv].all()
+            assert not s1.node_mask[b, nv:].any()
+        for b in range(B):
+            # recover the permutation by matching pos rows (unique floats)
+            order = {tuple(r): i for i, r in enumerate(s0.pos[b])}
+            perm = np.array([order[tuple(r)] for r in s1.pos[b]])
+            assert sorted(perm.tolist()) == list(range(N))
+            np.testing.assert_array_equal(s1.feats[b], s0.feats[b][perm])
+            np.testing.assert_array_equal(s1.target[b], s0.target[b][perm])
+            # edge set preserved: (original node, cell) pairs
+            lat0 = s0.enc_slots[0].lat_idx[b]
+            msk0 = s0.enc_slots[0].mask[b]
+            want = {(i, int(lat0[i, k])) for i in range(N) for k in range(4)
+                    if msk0[i, k]}
+            got = set()
+            degs_sorted = []
+            off = 0
+            for sec in sect.sections:
+                Ns, Ks = sec.lat_idx.shape[1:]
+                for i in range(Ns):
+                    degs_sorted.append(int(sec.mask[b, i].sum()))
+                    for k in range(Ks):
+                        if sec.mask[b, i, k]:
+                            got.add((int(perm[off + i]), int(sec.lat_idx[b, i, k])))
+                off += Ns
+            assert got == want
+            # ascending degree over the valid prefix
+            nv = int(s1.node_mask[b].sum())
+            dv = degs_sorted[:nv]
+            assert dv == sorted(dv)
+
+
+def test_sectioned_profile_pinning(synth_root):
+    """sectioned_profile pins the section structure (static compiled shapes
+    across batches); a profile below the observed max degree refuses."""
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+    kw = dict(batch_size=2, pad_multiple=64, slot_mode="async",
+              slot_builder=_varied_degree_builder, num_scales=1,
+              edge_chunk_size=32, host_arrays=True, edge_layout="sectioned")
+    nc = 64 // 32
+    pinned = list(BatchLoader(ds, pre, sectioned_profile=[4] * nc, **kw))
+    for b in pinned:
+        # one merged section at the pinned width
+        assert len(b.enc_slots[0].sections) == 1
+        assert b.enc_slots[0].sections[0].lat_idx.shape[-1] == 4
+    with pytest.raises(ValueError, match="edges would be dropped"):
+        list(BatchLoader(ds, pre, sectioned_profile=[1] * nc, **kw))
+
+
+def test_sectioned_rejects_device_slot_mode(synth_root):
+    root, cfg = synth_root
+    ds = MeshDataset(cfg, "train")
+    stats = compute_or_load_stats(cfg, ds)
+    pre = SamplePreprocessor(stats=stats, metadata=DATASET_METADATA[cfg.metaname])
+    with pytest.raises(ValueError, match="host-built slots"):
+        BatchLoader(ds, pre, batch_size=2, pad_multiple=64,
+                    edge_layout="sectioned")
