@@ -421,13 +421,20 @@ def main():
             assert budget >= max_deg, (
                 f"slot_budget {budget} < max degree {max_deg}: edges dropped"
             )
-        slots = EdgeSlots(
-            lat_idx=jnp.asarray(np.stack(lats)), mask=jnp.asarray(np.stack(msks))
-        )
-        # encoder and decoder slots are identical here (queries == points,
-        # same radius, bidirectional strategy both ways)
-        enc_slots = [slots]
-        dec_slots = [slots]
+        lat_np_st = np.stack(lats)
+        msk_np_st = np.stack(msks)
+        use_sections = os.environ.get("BENCH_DEGREE_SECTIONS", "0") == "1"
+        if not use_sections:
+            # encoder and decoder slots are identical here (queries == points,
+            # same radius, bidirectional strategy both ways). Skipped under
+            # BENCH_DEGREE_SECTIONS: uploading the uniform [B,N,K] slots only
+            # to replace them with sections would leave ~335 MB of dead HBM
+            # referenced at 8M on a 15.75 GiB chip.
+            slots = EdgeSlots(
+                lat_idx=jnp.asarray(lat_np_st), mask=jnp.asarray(msk_np_st)
+            )
+            enc_slots = [slots]
+            dec_slots = [slots]
         # flat layout: per-chunk compacted edge lists — drops the ~52% masked
         # slots that still pay scatter/gather rows and kernel-MLP flops in the
         # [N, K] layout (tools/microbench_flat.py: encoder pass 2.15x fwd /
@@ -442,7 +449,7 @@ def main():
                 # BENCH_FLAT_ORDER=dst: encoder lists sorted by latent cell ->
                 # presorted-fold reduce (magno.flat_order, set above)
                 enc_slots = [flatten_slots_host_batched(
-                    np.stack(lats), np.stack(msks), chunk, order=magno.flat_order
+                    lat_np_st, msk_np_st, chunk, order=magno.flat_order
                 )]
             if dec_layout == "flat":
                 # decoder lists are always src-sorted (fold-by-node invariant)
@@ -450,7 +457,7 @@ def main():
                     list(enc_slots)
                     if enc_layout == "flat" and magno.flat_order == "src"
                     else [flatten_slots_host_batched(
-                        np.stack(lats), np.stack(msks), chunk)]
+                        lat_np_st, msk_np_st, chunk)]
                 )
         # BENCH_DEGREE_SECTIONS=1: degree-sectioned slot layout — sort points
         # ascending by degree (free: the model is node-permutation
@@ -459,7 +466,7 @@ def main():
         # K = max degree. 0.575x the slot rows of uniform budget 5 at 500K;
         # identical math, equal to the uniform layout up to matmul
         # shape-dependent rounding (ops/grid_graph.py SectionedEdgeSlots).
-        if os.environ.get("BENCH_DEGREE_SECTIONS", "0") == "1":
+        if use_sections:
             if "flat" in (enc_layout, dec_layout):
                 raise SystemExit(
                     "BENCH_DEGREE_SECTIONS applies to the slots layout only")
@@ -470,7 +477,7 @@ def main():
 
             chunk = effective_chunk(N, magno.edge_chunk_size)
             perms, sect = section_slots_by_degree_batched(
-                np.stack(lats), np.stack(msks), chunk)
+                lat_np_st, msk_np_st, chunk)
             for b in range(B):
                 pos_np[b] = pos_np[b][perms[b]]
                 feats_np[b] = feats_np[b][perms[b]]

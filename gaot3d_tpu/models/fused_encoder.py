@@ -412,7 +412,12 @@ class FusedEncoderScale(nn.Module):
         K = slots.mask.shape[-1]
         P = (self.lifting_channels if self.use_gno else 0) + 2 + self.coord_dim + 6
         chunk = effective_chunk(N, self.edge_chunk_size)
-        maybe_ckpt = _ckpt(self.remat and chunk < N, self.remat_policy)
+        # acc0 is not None => called per-section from the sectioned loop:
+        # remat must apply even when a section is exactly one chunk, or the
+        # full chunk-body kernel-MLP intermediates get saved for backward
+        # (a memory regression at scale where remat is mandatory).
+        maybe_ckpt = _ckpt(
+            self.remat and (chunk < N or acc0 is not None), self.remat_policy)
 
         body = maybe_ckpt(partial(self._pass_chunk, M))
         if chunk == N:

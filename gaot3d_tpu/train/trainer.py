@@ -185,7 +185,15 @@ class TrainerBase:
         self.num_processes = jax.process_count()
         self.is_main = self.process_index == 0
         manual_seed(self.setup_config.seed + self.process_index)
-        self.rng = jax.random.key(self.setup_config.seed + self.process_index)
+        # The jit step rng is GLOBAL, not per-process: under GSPMD there is
+        # one logical program, and replicated inputs (the step rng) must be
+        # identical on every process — a per-process key would desynchronize
+        # the SPMD programs. The reference's per-rank seed (base.py:46)
+        # decorrelates rank-local dropout in DDP, where each rank runs its
+        # own model copy; in GSPMD dropout is part of the single global
+        # program, so one key is the correct analogue. Single-process value
+        # is unchanged (seed + 0 == seed).
+        self.rng = jax.random.key(self.setup_config.seed)
         self.dtype = jnp.bfloat16 if self.setup_config.dtype == "bfloat16" else jnp.float32
 
         self.metadata = DATASET_METADATA[self.dataset_config.metaname]
@@ -239,6 +247,17 @@ class TrainerBase:
         self.tx = make_optimizer(optimizer_config.name, optimizer_config.args, steps_per_epoch)
         self.state = TrainState.create(apply_fn=self.model.apply, params=self.params, tx=self.tx)
         del self.params
+        if getattr(self, "mesh", None) is not None and self.num_processes > 1:
+            # replicate the train state across the global mesh explicitly:
+            # model.init placed params on this process's local device, and a
+            # multi-process jit cannot consume committed local-device arrays
+            # (every process holds identical values — init ran from the same
+            # global step rng)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), rep), self.state)
 
     # -- checkpoint artifacts --------------------------------------------------
     def save_checkpoint_artifact(
@@ -470,12 +489,29 @@ class StaticTrainer3D(TrainerBase):
 
         # --- graph-building mode (reference stat.py:257-272, collate pipeline)
         magno_cfg = self.model_config.args.magno
+        from ..models.magno import parse_edge_layout as _parse_layout
+
+        if ("sectioned" in _parse_layout(magno_cfg.edge_layout)
+                and self.setup_config.distributed
+                and self.setup_config.node_shards > 1):
+            # sections have unequal node counts, so the [B, Ns, Ks] section
+            # leaves cannot shard uniformly over the node mesh axis — fail
+            # here (pure config validation, before the precompute sweep)
+            # instead of an opaque jit divisibility error later.
+            raise ValueError(
+                "magno.edge_layout='sectioned' does not support node "
+                "sharding (setup.node_shards > 1): sections have unequal "
+                "node counts. Use edge_layout='slots' for node-sharded runs."
+            )
         slot_mode = "device"
         slot_builder = None
         if dataset_config.update_pt_files_with_edges:
             from ..data.graph_precompute import update_sample_files_with_edges
 
-            update_sample_files_with_edges(dataset_config, magno_cfg, self.grid, self.metadata)
+            # rank 0 only (reference stat.py:257-268): concurrent sweeps from
+            # several processes would race on the same sample files
+            if self.is_main:
+                update_sample_files_with_edges(dataset_config, magno_cfg, self.grid, self.metadata)
             if self.num_processes > 1:
                 # barrier analogue of stat.py:265-268
                 from jax.experimental import multihost_utils
@@ -625,7 +661,7 @@ class StaticTrainer3D(TrainerBase):
             )
             self.val_loader = BatchLoader(
                 MeshDataset(dataset_config, "val"), shuffle=False, device_cache=dc,
-                cache_put=self._device_put_eval_batch, **shard_kw, **common,
+                cache_put=self._device_put_val_batch, **shard_kw, **common,
             )
         else:
             self.train_loader = None
@@ -711,6 +747,9 @@ class StaticTrainer3D(TrainerBase):
             self._shard_nodes = False
             self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
             self._jit_eval_step = jax.jit(self._eval_step)
+        # per-rank val components step; only built when num_processes > 1
+        # (see _validate_multiprocess)
+        self._jit_val_step = None
         # compiled-argument layouts, harvested lazily at scale (see
         # _maybe_harvest_formats). Keyed by the batch's PADDED SHAPE: batches
         # pad per-batch (pipeline round_up), so one format set per compiled
@@ -781,6 +820,23 @@ class StaticTrainer3D(TrainerBase):
         )
         return pred, masked_mse(pred, batch.target, batch.node_mask)
 
+    def _val_components_step(self, params, batch: PointBatch):
+        """Per-SAMPLE loss components ([B] squared-error sums + valid counts)
+        — multi-process validate reconstructs each process's rank-local
+        batch-mean from these, reproducing the reference's partitioning
+        quirk exactly (DDP validate all-reduces per-RANK batch node-means,
+        stat.py:552-573; the global batch-mean is NOT the sum of rank means).
+        Only compiled when num_processes > 1."""
+        pred = self.model.apply(
+            params, batch.pos, batch.feats, batch.node_mask, train=False,
+            encoder_slots=list(batch.enc_slots) if batch.enc_slots is not None else None,
+            decoder_slots=list(batch.dec_slots) if batch.dec_slots is not None else None,
+        )
+        diff = (pred - batch.target) * batch.node_mask[..., None]
+        sq = (diff * diff).sum(axis=(1, 2))
+        cnt = batch.node_mask.sum(axis=1) * pred.shape[-1]
+        return sq, cnt
+
     def _device_put_batch(self, batch: PointBatch) -> PointBatch:
         """Place a batch on the device(s): in the compiled train step's
         argument layouts once those are harvested (jit dispatch relayouts any
@@ -798,14 +854,24 @@ class StaticTrainer3D(TrainerBase):
         if self.mesh is not None:
             from ..parallel import shard_point_batch
 
-            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
+            # the train loader is per-process sharded (indices[rank::world])
+            # whenever num_processes > 1, so its batches are process-LOCAL
+            # rows of the global batch (see shard_point_batch docstring)
+            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes,
+                                     process_local=self.num_processes > 1)
         return jax.device_put(batch)
 
-    def _device_put_eval_batch(self, batch: PointBatch) -> PointBatch:
+    def _device_put_eval_batch(self, batch: PointBatch,
+                               process_local: bool = False) -> PointBatch:
         """Eval twin of _device_put_batch using the EVAL step's harvested
         layouts — placing eval batches in the TRAIN formats first would
         relayout each batch twice (train formats in the prefetcher, eval
-        formats at dispatch)."""
+        formats at dispatch).
+
+        process_local=False is the TEST-loader semantics (unsharded: every
+        process iterates the full set, each batch is the global value —
+        reference stat.py:408-418); the VAL loader is per-process sharded,
+        so validate() places through _device_put_val_batch instead."""
         fmts = self._eval_batch_formats.get(self._format_key(batch))
         if fmts:
             from ..utils.layout import put_to_formats
@@ -814,8 +880,15 @@ class StaticTrainer3D(TrainerBase):
         if self.mesh is not None:
             from ..parallel import shard_point_batch
 
-            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes)
+            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes,
+                                     process_local=process_local)
         return jax.device_put(batch)
+
+    def _device_put_val_batch(self, batch: PointBatch) -> PointBatch:
+        """Placement for the per-process SHARDED val loader: its batches are
+        process-local rows of the global validation batch."""
+        return self._device_put_eval_batch(
+            batch, process_local=self.num_processes > 1)
 
     # layout harvesting threshold: below this node count the relayout cost is
     # negligible and the extra AOT lower+compile (a compilation-cache hit
@@ -837,6 +910,13 @@ class StaticTrainer3D(TrainerBase):
         and overridable via GAOT_LAYOUT_HARMONIZE=always|never|auto."""
         key = self._format_key(batch)
         if key in cache:
+            return
+        if self.num_processes > 1:
+            # layout harmonization is a single-device dispatch optimization
+            # (per-call relayout of mismatched args through the tunnel);
+            # multi-process batches are global arrays assembled from local
+            # shards and put_to_formats' per-leaf device_put doesn't apply
+            cache[key] = False
             return
         mode = os.environ.get("GAOT_LAYOUT_HARMONIZE", "auto")
         n = key[0] * key[1]
@@ -919,12 +999,17 @@ class StaticTrainer3D(TrainerBase):
         )
         return loss
 
-    def eval_step(self, batch: PointBatch):
+    def eval_step(self, batch: PointBatch, process_local: bool = False):
         """Mesh-aware eval: batches shard over (data[, node]) exactly like
         training, so evaluation at DrivAerML scale does not OOM one device
-        (reference: eval runs through the same DDP wrap, stat.py:552-573)."""
+        (reference: eval runs through the same DDP wrap, stat.py:552-573).
+
+        process_local: set for batches from the per-process SHARDED val
+        loader (validate() does); test batches are global values."""
+        put = (self._device_put_val_batch if process_local
+               else self._device_put_eval_batch)
         if self._jit_eval_step is None:
-            batch = self._device_put_eval_batch(batch)
+            batch = put(batch)
             from ..parallel import make_sharded_eval_step
 
             self._jit_eval_step = make_sharded_eval_step(
@@ -937,11 +1022,11 @@ class StaticTrainer3D(TrainerBase):
         # host batches go host->device exactly once, in entry layouts)
         if self._format_key(batch) not in self._eval_batch_formats:
             if self.mesh is not None:
-                batch = self._device_put_eval_batch(batch)  # shard pre-lower
+                batch = put(batch)  # shard pre-lower
             self._maybe_harvest_formats(
                 self._eval_batch_formats, batch,
                 lambda: self._jit_eval_step.lower(self.state.params, batch))
-        batch = self._device_put_eval_batch(batch)
+        batch = put(batch)
         return self._jit_eval_step(self.state.params, batch)
 
     # -- loops -----------------------------------------------------------------
@@ -1094,6 +1179,12 @@ class StaticTrainer3D(TrainerBase):
         a single host sync at the end, so the prefetcher keeps the device fed
         (per-batch float() cost one ~27ms tunnel round-trip each)."""
         host_stage = self._host_stage_batches()
+        # sharded loaders (val) yield process-LOCAL batches that assemble
+        # into one GLOBAL batch per lockstep step; the test loader
+        # (validate_on_test) is unsharded, its batches are global values
+        local = self.num_processes > 1 and getattr(loader, "num_shards", 1) > 1
+        if local:
+            return self._validate_multiprocess(loader)
         total = jnp.zeros(())
         for batch in prefetch_to_device(iter(loader),
                                         put_fn=(lambda b: b) if host_stage
@@ -1104,15 +1195,42 @@ class StaticTrainer3D(TrainerBase):
                 # exactly ONE huge eval batch device-resident at a time
                 loss = np.float32(np.asarray(loss))
             total = total + loss
-        total = float(total)
-        # all-reduce ONLY for sharded loaders (val): the test loader is
-        # unsharded (every process iterates the full set, stat.py:408-418), so
-        # summing per-process totals there would multiply the validate_on_test
-        # loss by num_processes
-        if self.num_processes > 1 and getattr(loader, "num_shards", 1) > 1:
-            from jax.experimental import multihost_utils
+        return float(total) / len(loader.dataset)
 
-            total = float(multihost_utils.process_allgather(jnp.asarray(total)).sum())
+    def _validate_multiprocess(self, loader) -> float:
+        """Multi-process validate over the sharded val loader.
+
+        Each lockstep step assembles one global batch (process-local rows
+        concatenated by process block — make_array_from_process_local_data).
+        The reference all-reduces per-RANK batch node-means (stat.py:552-573),
+        and the global batch-mean is NOT the sum of rank means, so the step
+        returns per-sample components and the rank means are reconstructed
+        host-side — every process computes the same total, no collective
+        needed beyond the SPMD step itself."""
+        if self._jit_val_step is None:
+            from ..parallel import make_sharded_eval_step
+
+            # lazily built from the first placed batch (same reason as
+            # _jit_eval_step: the in_shardings pytree must match the batch
+            # structure incl. optional edge slots)
+            self._jit_val_step = "pending"
+        total = 0.0
+        b_local = loader.batch_size
+        for batch in prefetch_to_device(iter(loader), put_fn=(lambda b: b)):
+            batch = self._device_put_val_batch(batch)
+            if self._jit_val_step == "pending":
+                from ..parallel import make_sharded_eval_step
+
+                self._jit_val_step = make_sharded_eval_step(
+                    self._val_components_step, self.mesh,
+                    shard_nodes=self._shard_nodes, example_batch=batch,
+                )
+            sq, cnt = self._jit_val_step(self.state.params, batch)
+            sq = np.asarray(sq).reshape(self.num_processes, b_local)
+            cnt = np.asarray(cnt).reshape(self.num_processes, b_local)
+            rank_sq = sq.sum(axis=1)
+            rank_cnt = np.maximum(cnt.sum(axis=1), 1)
+            total += float((rank_sq / rank_cnt).sum())
         return total / len(loader.dataset)
 
     def test(self) -> Dict[str, float]:

@@ -124,6 +124,26 @@ def test_flat_edge_layout_requires_host_slots(tmp_path):
         StaticTrainer3D(cfg)
 
 
+def test_sectioned_rejects_node_sharding(tmp_path):
+    """edge_layout='sectioned' + node_shards>1 must fail with a clear config
+    error at trainer init, not an opaque jit divisibility error (sections
+    have unequal node counts, so section leaves cannot shard uniformly)."""
+    from gaot3d_tpu.config import RunConfig
+    from gaot3d_tpu.train.trainer import StaticTrainer3D
+    from gaot3d_tpu.utils.dataclass_utils import merge_config
+
+    cfg = merge_config(RunConfig(), {
+        "setup": {"distributed": True, "node_shards": 2},
+        "dataset": {"base_path": str(tmp_path), "name": "synthetic_smoke",
+                    "metaname": "synthetic/unit_cube",
+                    "update_pt_files_with_edges": True},
+        "model": {"args": {"magno": {"edge_layout": "sectioned",
+                                     "slot_budget": 4}}},
+    })
+    with pytest.raises(ValueError, match="node shard"):
+        StaticTrainer3D(cfg)
+
+
 def test_neural_field_smoke(tmp_path, monkeypatch):
     trainer, result = _run(
         "configs/examples/synthetic/neural_field.yaml", tmp_path, monkeypatch

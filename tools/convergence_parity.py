@@ -67,12 +67,19 @@ _PLATFORM = "cpu"
 # dataset: fixed synthetic clouds with a geometry-dependent learnable field
 # ---------------------------------------------------------------------------
 
-def make_dataset(n_samples: int, n_nodes: int, seed: int = 1234):
+def make_dataset(n_samples: int, n_nodes: int, seed: int = 1234,
+                 out: str = "pressure"):
     """Deformed-sphere clouds; feats = outward unit normals (3ch, the
     analogue of drivaernet's processed_pyg_normals inputs); target = smooth
     pressure-like field that depends on position AND normal orientation
     w.r.t. the +x 'flow' axis, with per-sample deformation so the task is
-    not memorizable from coordinates alone."""
+    not memorizable from coordinates alone.
+
+    out='wss': 3-channel wall-shear-stress-like target instead — tangential
+    flow direction (x-flow minus its normal component) scaled by a smooth
+    position/deformation-dependent magnitude (the drivaernet_shearstress
+    analogue: 3 output channels, per-channel normalization constants,
+    reference metadata.py:57-58)."""
     rng = np.random.default_rng(seed)
     samples = []
     for _ in range(n_samples):
@@ -83,13 +90,25 @@ def make_dataset(n_samples: int, n_nodes: int, seed: int = 1234):
         bump = 1.0 + a * np.sin(f1 * u[:, 0]) + b * np.cos(f2 * u[:, 1] * u[:, 2] * 4)
         pos = (u * bump[:, None] * 0.8).astype(np.float32)
         normals = u.astype(np.float32)  # exact for the sphere; smooth proxy here
-        p = (
-            np.sin(2.0 * np.pi * pos[:, 0]) * np.cos(np.pi * pos[:, 1])
-            + 2.0 * np.maximum(normals[:, 0], 0.0) ** 2  # stagnation-like
-            + 0.5 * pos[:, 2] ** 2
-            + 0.3 * a * 10.0  # per-sample offset from the deformation
-        ).astype(np.float32)[:, None]
-        samples.append({"pos": pos, "x": normals, "y": p})
+        if out == "wss":
+            flow = np.array([1.0, 0.0, 0.0], np.float32)
+            # tangential unit direction of the flow on the surface
+            tang = flow[None, :] - normals[:, 0:1] * normals
+            mag = (
+                0.8 + 0.4 * np.cos(np.pi * pos[:, 2])
+                + 0.6 * np.sin(2.0 * np.pi * pos[:, 1])
+                + np.maximum(1.0 - normals[:, 0], 0.0)  # lee-side growth
+                + 0.3 * a * 10.0
+            )[:, None]
+            y = (tang * mag).astype(np.float32)
+        else:
+            y = (
+                np.sin(2.0 * np.pi * pos[:, 0]) * np.cos(np.pi * pos[:, 1])
+                + 2.0 * np.maximum(normals[:, 0], 0.0) ** 2  # stagnation-like
+                + 0.5 * pos[:, 2] ** 2
+                + 0.3 * a * 10.0  # per-sample offset from the deformation
+            ).astype(np.float32)[:, None]
+        samples.append({"pos": pos, "x": normals, "y": y})
     return samples
 
 
@@ -120,9 +139,13 @@ RECIPE = dict(lr=3e-4, weight_decay=1e-5, max_lr=5e-4, min_lr=1e-4,
               final_lr=5e-5)  # pressure.yaml optimizer.args
 
 
-def build_models(p, cin, cout, atten_dropout=0.1):
+def build_models(p, cin, cout, atten_dropout=0.1, precompute_edges=True):
     """Reference torch GAOT3D + our flax GAOT3D with the SAME scaled
-    pressure.yaml architecture. Returns (ref_module_factory, our_model)."""
+    pressure.yaml architecture. Returns (ref_module_factory, our_model).
+
+    precompute_edges=False is the neural-field configuration (reference
+    stat.py:48-54 forces it): the torch model builds edges on the fly from
+    the sampled coords (brute stubs), ours builds stencil slots on device."""
     from reference_stubs import install_reference_stubs
 
     install_reference_stubs()
@@ -146,7 +169,7 @@ def build_models(p, cin, cout, atten_dropout=0.1):
         projection_channels=p["projection"],
         mlp_type="linear",
         attention_type="cosine",
-        precompute_edges=True,
+        precompute_edges=precompute_edges,
     )
     r_attn = ref_attn.TransformerConfig(
         patch_size=2,
@@ -204,9 +227,19 @@ def build_models(p, cin, cout, atten_dropout=0.1):
 # per-seed runs
 # ---------------------------------------------------------------------------
 
-def run_torch_seed(seed, p, data, splits, slots_np, epochs, order):
+def run_torch_seed(seed, p, data, splits, slots_np, epochs, order,
+                   cout=1, nf=None, samp=None):
     """Train the reference model; returns (initial state_dict copy,
-    init train loss, final train loss, test predictions)."""
+    init train loss, final train loss, test predictions).
+
+    nf=dict(input_nodes=..., query_nodes=...) runs the neural-field strategy
+    (reference stat.py:438-514, train_step:520-539): per step, encoder input
+    = the shared sampled subcloud, decoder queries = the shared sampled query
+    coords, edges built ON THE FLY by the reference model itself
+    (precompute_edges=False; brute-force pyg stubs). samp[ep][step] carries
+    the shared (input_idx, query_idx) so both frameworks see identical
+    sampling (the torch randperm is bypassed deliberately: sampling noise is
+    not framework math)."""
     import torch
 
     from reference_stubs import Batch as RefBatch, install_reference_stubs
@@ -216,20 +249,26 @@ def run_torch_seed(seed, p, data, splits, slots_np, epochs, order):
 
     tr_idx, _, te_idx = splits
     torch.manual_seed(seed)
-    ref_factory, _ = build_models(p, cin=3, cout=1)
+    ref_factory, _ = build_models(p, cin=3, cout=cout,
+                                  precompute_edges=nf is None)
     tm = ref_factory()
     sd0 = {k: v.detach().clone() for k, v in tm.state_dict().items()}
 
     def make_batch(i):
-        s, (li, mk) = data[i], slots_np[i]
+        s = data[i]
         n = s["pos"].shape[0]
+        kw = {}
+        if nf is None:
+            li, mk = slots_np[i]
+            kw = dict(
+                encoder_edge_index_s0=torch.as_tensor(
+                    slots_to_edge_index_np(li, mk, "encoder")),
+                decoder_edge_index_s0=torch.as_tensor(
+                    slots_to_edge_index_np(li, mk, "decoder")),
+            )
         return RefBatch(
             pos=torch.as_tensor(s["pos"]), x=torch.as_tensor(s["x"]),
-            batch=torch.zeros(n, dtype=torch.long), num_graphs=1,
-            encoder_edge_index_s0=torch.as_tensor(
-                slots_to_edge_index_np(li, mk, "encoder")),
-            decoder_edge_index_s0=torch.as_tensor(
-                slots_to_edge_index_np(li, mk, "decoder")),
+            batch=torch.zeros(n, dtype=torch.long), num_graphs=1, **kw,
         ), torch.as_tensor(s["y"])
 
     batches = {i: make_batch(i) for i in set(tr_idx) | set(te_idx)}
@@ -253,10 +292,25 @@ def run_torch_seed(seed, p, data, splits, slots_np, epochs, order):
     last_epoch_loss = float("nan")
     for ep in range(epochs):
         total = 0.0
-        for i in order[ep]:
-            b, y = batches[tr_idx[i]]
+        for step_i, i in enumerate(order[ep]):
+            gi = tr_idx[i]
             opt.zero_grad()
-            loss = torch.nn.functional.mse_loss(tm(b), y)
+            if nf is not None:
+                s = data[gi]
+                in_idx, q_idx = samp[ep][step_i]
+                n_in = in_idx.shape[0]
+                b = RefBatch(
+                    pos=torch.as_tensor(s["pos"][in_idx]),
+                    x=torch.as_tensor(s["x"][in_idx]),
+                    batch=torch.zeros(n_in, dtype=torch.long), num_graphs=1)
+                qp = torch.as_tensor(s["pos"][q_idx])
+                qb = torch.zeros(q_idx.shape[0], dtype=torch.long)
+                y = torch.as_tensor(s["y"][q_idx])
+                pred = tm(b, query_coord_pos=qp, query_coord_batch_idx=qb)
+            else:
+                b, y = batches[gi]
+                pred = tm(b)
+            loss = torch.nn.functional.mse_loss(pred, y)
             if init_loss is None:
                 init_loss = float(loss.detach())
             loss.backward()
@@ -274,9 +328,14 @@ def run_torch_seed(seed, p, data, splits, slots_np, epochs, order):
     return sd0, init_loss, last_epoch_loss, preds
 
 
-def run_jax_seed(seed, p, data, splits, slots_np, epochs, order, sd0, prng16):
+def run_jax_seed(seed, p, data, splits, slots_np, epochs, order, sd0, prng16,
+                 cout=1, nf=None, samp=None):
     """Train OUR model from the imported torch init; returns
-    (init train loss, final train loss, test predictions)."""
+    (init train loss, final train loss, test predictions).
+
+    nf: neural-field strategy — same shared sampling as run_torch_seed; our
+    model builds stencil slots ON DEVICE from the sampled coords (no
+    precomputed slots passed), the trainer's real neural-field path."""
     import jax
 
     jax.config.update("jax_platforms", _PLATFORM)
@@ -296,7 +355,8 @@ def run_jax_seed(seed, p, data, splits, slots_np, epochs, order, sd0, prng16):
         os.environ["GAOT_ATTN_PRNG16"] = "1"
 
     tr_idx, _, te_idx = splits
-    _, model = build_models(p, cin=3, cout=1)
+    _, model = build_models(p, cin=3, cout=cout,
+                            precompute_edges=nf is None)
     jparams = gaot_params_from_ref(
         sd0, p["layers"], enc_geo=True, dec_geo=False,
         n_enc_fcs=len(p["in_mlp"]) + 1, n_dec_fcs=len(p["out_mlp"]) + 1)
@@ -315,6 +375,59 @@ def run_jax_seed(seed, p, data, splits, slots_np, epochs, order, sd0, prng16):
 
     n = data[0]["pos"].shape[0]
     mask = jnp.ones((1, n), bool)
+
+    if nf is not None:
+        # neural-field strategy: sampled encoder inputs + sampled decoder
+        # queries per step, slots built on device from the sampled coords
+        k_in, k_q = nf["input_nodes"], nf["query_nodes"]
+        mask_in = jnp.ones((1, k_in), bool)
+        mask_q = jnp.ones((1, k_q), bool)
+
+        def nf_loss_fn(params, pos_in, feats_in, query_pos, target, key):
+            pred = model.apply(
+                params, pos_in, feats_in, mask_in, train=True,
+                rngs={"dropout": key},
+                query_pos=query_pos, query_mask=mask_q)
+            return jnp.mean((pred - target) ** 2)
+
+        @jax.jit
+        def nf_step(params, opt_state, pos_in, feats_in, query_pos, target, key):
+            loss, grads = jax.value_and_grad(nf_loss_fn)(
+                params, pos_in, feats_in, query_pos, target, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def nf_predict(params, pos, feats):
+            return model.apply(params, pos, feats, mask)
+
+        key = jax.random.key(seed)
+        init_loss = None
+        last_epoch_loss = float("nan")
+        for ep in range(epochs):
+            total = 0.0
+            for step_i, i in enumerate(order[ep]):
+                s = data[tr_idx[i]]
+                in_idx, q_idx = samp[ep][step_i]
+                key, sub = jax.random.split(key)
+                jparams, opt_state, loss = nf_step(
+                    jparams, opt_state,
+                    jnp.asarray(s["pos"][in_idx])[None],
+                    jnp.asarray(s["x"][in_idx])[None],
+                    jnp.asarray(s["pos"][q_idx])[None],
+                    jnp.asarray(s["y"][q_idx])[None], sub)
+                if init_loss is None:
+                    init_loss = float(loss)
+                total += float(loss)
+            last_epoch_loss = total / len(order[ep])
+
+        preds = []
+        for i in te_idx:
+            s = data[i]
+            preds.append(np.asarray(nf_predict(
+                jparams, jnp.asarray(s["pos"])[None],
+                jnp.asarray(s["x"])[None]))[0])
+        return init_loss, last_epoch_loss, preds
 
     def to_slots(i):
         li, mk = slots_np[i]
@@ -375,7 +488,8 @@ def run_jax_seed(seed, p, data, splits, slots_np, epochs, order, sd0, prng16):
 # ---------------------------------------------------------------------------
 
 def run(seeds, epochs, n_nodes, n_train, n_val, n_test, preset="scaled",
-        prng16=False, out_prefix=None, data_seed=1234):
+        prng16=False, out_prefix=None, data_seed=1234, recipe="pressure",
+        nf_input=4096, nf_query=2048):
     import jax
 
     jax.config.update("jax_platforms", _PLATFORM)
@@ -388,53 +502,83 @@ def run(seeds, epochs, n_nodes, n_train, n_val, n_test, preset="scaled",
     from gaot3d_tpu.train.metrics import compute_drivaernet_metric
 
     p = PRESETS[preset]
+    cout = 3 if recipe == "wss" else 1
+    nf = (dict(input_nodes=min(nf_input, n_nodes),
+               query_nodes=min(nf_query, n_nodes))
+          if recipe == "neural_field" else None)
     n_samples = n_train + n_val + n_test
-    data = make_dataset(n_samples, n_nodes, seed=data_seed)
+    data = make_dataset(n_samples, n_nodes, seed=data_seed,
+                        out="wss" if recipe == "wss" else "pressure")
     tr_idx = list(range(n_train))
     va_idx = list(range(n_train, n_train + n_val))
     te_idx = list(range(n_train + n_val, n_samples))
     splits = (tr_idx, va_idx, te_idx)
 
-    # shared edge sets (our builder; converted for torch)
-    grid = LatentGrid(dims=p["latent"])
-    slots_np, degs = {}, []
-    for i in set(tr_idx) | set(te_idx):
-        s = build_edge_slots(jnp.asarray(data[i]["pos"]), grid, p["radius"],
-                             strategy="bidirectional")
-        li, mk = np.asarray(s.lat_idx), np.asarray(s.mask)
-        slots_np[i] = (li, mk)
-        degs.append(mk.sum(1))
-    deg = np.concatenate(degs)
-    print(f"[dataset] {n_samples} x {n_nodes} nodes; stencil degree "
-          f"mean {deg.mean():.2f} max {deg.max()} "
-          f"(full recipe: ~2.4 / 5)", flush=True)
+    # shared edge sets (our builder; converted for torch). neural_field
+    # builds edges per step from the SAMPLED coords inside each framework
+    # (reference constraint stat.py:48-54), so no precomputed slots there.
+    slots_np = None
+    if nf is None:
+        grid = LatentGrid(dims=p["latent"])
+        slots_np, degs = {}, []
+        for i in set(tr_idx) | set(te_idx):
+            s = build_edge_slots(jnp.asarray(data[i]["pos"]), grid, p["radius"],
+                                 strategy="bidirectional")
+            li, mk = np.asarray(s.lat_idx), np.asarray(s.mask)
+            slots_np[i] = (li, mk)
+            degs.append(mk.sum(1))
+        deg = np.concatenate(degs)
+        print(f"[dataset] {n_samples} x {n_nodes} nodes; stencil degree "
+              f"mean {deg.mean():.2f} max {deg.max()} "
+              f"(full recipe: ~2.4 / 5)", flush=True)
+    else:
+        deg = np.zeros(1)
+        print(f"[dataset] {n_samples} x {n_nodes} nodes; neural_field "
+              f"input {nf['input_nodes']} / query {nf['query_nodes']} "
+              f"per step, on-device edges", flush=True)
 
     # drivaernet-style normalization constants from the train split
+    # (per-channel — WSS uses mean/std triplets, metadata.py:57-58)
     tr_y = np.concatenate([data[i]["y"] for i in tr_idx])
-    gmean, gstd = [float(tr_y.mean())], [float(tr_y.std())]
+    gmean = [float(v) for v in tr_y.mean(axis=0)]
+    gstd = [float(v) for v in tr_y.std(axis=0)]
 
     rows = []
     for seed in seeds:
         t0 = time.time()
         order_rng = np.random.default_rng(10_000 + seed)
         order = [order_rng.permutation(len(tr_idx)) for _ in range(epochs)]
+        samp = None
+        if nf is not None:
+            # shared neural-field sampling (both frameworks see the same
+            # input/query node indices; reference stat.py:458-483 uses
+            # torch.randperm — sampling noise is not framework math)
+            srng = np.random.default_rng(20_000 + seed)
+            samp = [[(srng.permutation(n_nodes)[: nf["input_nodes"]],
+                      srng.permutation(n_nodes)[: nf["query_nodes"]])
+                     for _ in range(len(tr_idx))]
+                    for _ in range(epochs)]
 
         sd0, t_init, t_final, t_preds = run_torch_seed(
-            seed, p, data, splits, slots_np, epochs, order)
+            seed, p, data, splits, slots_np, epochs, order,
+            cout=cout, nf=nf, samp=samp)
         t_torch = time.time() - t0
         print(f"[seed {seed}] torch: {t_init:.4f} -> {t_final:.4e} "
               f"({t_torch:.0f}s)", flush=True)
 
         t0 = time.time()
         j_init, j_final, j_preds = run_jax_seed(
-            seed, p, data, splits, slots_np, epochs, order, sd0, prng16)
+            seed, p, data, splits, slots_np, epochs, order, sd0, prng16,
+            cout=cout, nf=nf, samp=samp)
         t_jax = time.time() - t0
         print(f"[seed {seed}] jax:   {j_init:.4f} -> {j_final:.4e} "
               f"({t_jax:.0f}s)", flush=True)
 
-        # identical imported init (f32 forward agreement)
+        # identical imported init (f32 forward agreement; neural-field inits
+        # are noisier — 2048-query losses + two independent dropout streams)
+        init_tol = 1e-2 if nf is not None else 5e-3
         init_rel = abs(j_init - t_init) / max(abs(t_init), 1e-12)
-        assert init_rel < 5e-3, (
+        assert init_rel < init_tol, (
             f"seed {seed}: imported init does not reproduce the torch "
             f"loss: {j_init} vs {t_init} (rel {init_rel:.2e})")
 
@@ -455,7 +599,8 @@ def run(seeds, epochs, n_nodes, n_train, n_val, n_test, preset="scaled",
               f"{tm_m['Rel_L2']:.4f} jax {jx_m['Rel_L2']:.4f}", flush=True)
 
     result = dict(
-        preset=preset, params=p, recipe=RECIPE, epochs=epochs,
+        preset=preset, params=p, recipe=RECIPE, task=recipe,
+        out_channels=cout, neural_field=nf, epochs=epochs,
         nodes=n_nodes, train=n_train, val=n_val, test=n_test,
         prng16=prng16,
         kernel_dtype=os.environ.get("PARITY_KERNEL_DTYPE", "float32"),
@@ -477,13 +622,19 @@ def write_markdown(result, path):
     lines = [
         "# Convergence parity — torch reference vs gaot3d_tpu",
         "",
-        f"Scaled DrivAerNet pressure recipe (preset `{r['preset']}`): "
-        f"{r['epochs']} epochs, AdamW {RECIPE['lr']}/wd {RECIPE['weight_decay']}, "
+        f"Scaled DrivAerNet **{r.get('task', 'pressure')}** recipe "
+        f"({r.get('out_channels', 1)}-channel output, preset `{r['preset']}`"
+        + (f", neural-field {r['neural_field']['input_nodes']} input / "
+           f"{r['neural_field']['query_nodes']} query nodes per step, "
+           f"on-device edges" if r.get("neural_field") else "")
+        + f"): {r['epochs']} epochs, AdamW {RECIPE['lr']}/wd {RECIPE['weight_decay']}, "
         f"mix schedule, dropout 0.1, bidirectional stencil "
         f"(degree mean {r['degree_mean']:.2f} max {r['degree_max']}), "
         f"{r['train']}/{r['val']}/{r['test']} x {r['nodes']}-node clouds, "
-        f"identical imported init per seed, shared edge sets + shuffle order. "
-        f"jax side: fused fast paths, kernel_dtype={r['kernel_dtype']}, "
+        f"identical imported init per seed, shared "
+        + ("sampling + shuffle order"
+           if r.get("neural_field") else "edge sets + shuffle order")
+        + f". jax side: fused fast paths, kernel_dtype={r['kernel_dtype']}, "
         f"prng16={r['prng16']}.",
         "",
         "| seed | torch test MSE | jax test MSE | ratio | torch Rel_L2 | jax Rel_L2 | torch s | jax s |",
@@ -515,6 +666,19 @@ def main(argv=None):
     ap.add_argument("--val", type=int, default=4)
     ap.add_argument("--test", type=int, default=4)
     ap.add_argument("--preset", default="scaled", choices=sorted(PRESETS))
+    ap.add_argument("--recipe", default="pressure",
+                    choices=["pressure", "wss", "neural_field"],
+                    help="pressure: 1-ch full grid; wss: 3-ch full grid "
+                         "(shearstress analogue, per-channel metric "
+                         "normalization); neural_field: sampled input/query "
+                         "nodes per step with on-device edges (reference "
+                         "stat.py:438-514)")
+    ap.add_argument("--nf-input", type=int, default=4096,
+                    help="neural_field encoder input nodes per step")
+    ap.add_argument("--nf-query", type=int, default=2048,
+                    help="neural_field decoder query nodes per step (chosen "
+                         "!= nf-input so the distinct-permutation path runs, "
+                         "stat.py:478-483)")
     ap.add_argument("--kernel-dtype", default=None,
                     help="jax-side kernel MLP dtype ablation (e.g. bfloat16)")
     ap.add_argument("--prng16", action="store_true",
@@ -533,7 +697,8 @@ def main(argv=None):
                  "pass --jax-platform axon")
     seeds = [int(s) for s in args.seeds.split(",")]
     run(seeds, args.epochs, args.nodes, args.train, args.val, args.test,
-        preset=args.preset, prng16=args.prng16, out_prefix=args.out)
+        preset=args.preset, prng16=args.prng16, out_prefix=args.out,
+        recipe=args.recipe, nf_input=args.nf_input, nf_query=args.nf_query)
 
 
 if __name__ == "__main__":
