@@ -387,7 +387,19 @@ def main():
         raise SystemExit(
             "BENCH_EDGE_LAYOUT=flat requires BENCH_PRECOMPUTED=1 "
             "(flat lists are built host-side from precomputed slots)")
-    if not precomputed and os.environ.get("BENCH_DEGREE_SECTIONS", "0") == "1":
+    # BENCH_DEGREE_SECTIONS: '1' force-on / '0' force-off / unset = AUTO (on
+    # whenever it applies: precomputed slots-layout runs). Degree-sectioned
+    # slots became the default after the round-5 on-chip A/B: 500K step
+    # 0.5777 -> 0.4372 s (+32% throughput), 2M 1.4314 -> 0.8166 s (+75%) —
+    # identical math (node permutation + per-section K = max degree), so no
+    # accuracy trade. Explicit '1' refuses incompatible legs; AUTO falls back
+    # to uniform slots for flat / on-device-build legs.
+    sections_env = os.environ.get("BENCH_DEGREE_SECTIONS")
+    if sections_env is None:
+        use_sections = precomputed and (enc_layout, dec_layout) == ("slots", "slots")
+    else:
+        use_sections = sections_env == "1"
+    if not precomputed and use_sections:
         # same honesty contract as the flat refusal above
         raise SystemExit(
             "BENCH_DEGREE_SECTIONS=1 requires BENCH_PRECOMPUTED=1 "
@@ -423,7 +435,6 @@ def main():
             )
         lat_np_st = np.stack(lats)
         msk_np_st = np.stack(msks)
-        use_sections = os.environ.get("BENCH_DEGREE_SECTIONS", "0") == "1"
         if not use_sections:
             # encoder and decoder slots are identical here (queries == points,
             # same radius, bidirectional strategy both ways). Skipped under
@@ -657,6 +668,7 @@ def main():
         "nodes": N,
         "batch": B,
         "edge_layout": os.environ.get("BENCH_EDGE_LAYOUT", "slots"),
+        "degree_sections": bool(use_sections),
         "platform": jax.devices()[0].platform,
     }
     if tunnel_down:

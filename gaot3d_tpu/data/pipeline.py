@@ -126,6 +126,10 @@ class BatchLoader:
         sectioned_profile=None,  # pinned per-chunk K list for 'sectioned'
         # (MAGNOConfig.sectioned_profile; without it the section structure is
         # derived per batch, and differing batches recompile the step)
+        section_shards: int = 1,  # shard-ALIGNED sectioning for node-sharded
+        # runs: build sections so every [B, Ns, Ks] leaf splits exactly at
+        # node-shard boundaries (SectionedEdgeSlots.shards; set to the mesh's
+        # node axis size). 1 = the single-device layout.
         device_cache: bool = False,  # keep built batches resident across epochs
         cache_put=None,  # callable(PointBatch)->PointBatch applied before caching
         # (trainers pass their device/mesh placement so cached entries live in
@@ -162,6 +166,7 @@ class BatchLoader:
         self.flat_order = flat_order
         self.flat_edges_per_chunk = flat_edges_per_chunk
         self.sectioned_profile = sectioned_profile
+        self.section_shards = section_shards
         if "flat" in self.edge_layout and slot_mode == "device":
             raise ValueError("edge_layout 'flat' needs host-built slots "
                              "(slot_mode 'async' or 'precomputed')")
@@ -321,11 +326,17 @@ class BatchLoader:
                 if self.num_scales != 1:
                     raise ValueError(
                         "edge_layout 'sectioned' supports a single scale")
-                chunkn = effective_chunk(n_pad, self.edge_chunk_size)
+                S = self.section_shards
+                if n_pad % S != 0:
+                    raise ValueError(
+                        f"section_shards {S} must divide the padded node "
+                        f"count {n_pad} (set pad_multiple to a multiple of "
+                        "section_shards x edge_chunk_size)")
+                chunkn = effective_chunk(n_pad // S, self.edge_chunk_size)
                 perms, (enc_sect, dec_sect) = section_slots_shared(
                     [enc_np[0], dec_np[0]], chunkn, node_mask=mask,
                     profile=self.sectioned_profile,
-                    host_arrays=self.host_arrays,
+                    host_arrays=self.host_arrays, shards=S,
                 )
                 rows = np.arange(B)[:, None]
                 pos = np.ascontiguousarray(pos[rows, perms])

@@ -385,17 +385,41 @@ class FusedEncoderScale(nn.Module):
                     f"sectioned slots cover {slots.num_nodes} nodes, "
                     f"points have {N}"
                 )
+            S = slots.shards
+            if S > 1:
+                # shard-aligned layout: section leaves are shard-major
+                # [B, S*ns_i, K_i] and section i's point rows sit at
+                # s*N/S + [off, off+ns_i) per shard — slice through the
+                # [B, S, N/S, ...] view (same positional association,
+                # summation unchanged; see SectionedEdgeSlots.shards)
+                nl = N // S
+                pos_v = point_pos.reshape(B, S, nl, point_pos.shape[-1])
+                feats_v = (
+                    lifted_feats.reshape(B, S, nl, lifted_feats.shape[-1])
+                    if lifted_feats is not None else None
+                )
             acc = jnp.zeros((B, M, P))
             off = 0
             for sec in slots.sections:
                 Ns = int(sec.lat_idx.shape[-2])
-                feats_s = (
-                    lifted_feats[:, off:off + Ns]
-                    if lifted_feats is not None else None
-                )
-                acc = self._run_slotted(
-                    sec, point_pos[:, off:off + Ns], feats_s, M, acc0=acc)
-                off += Ns
+                if S > 1:
+                    ns = Ns // S
+                    pts = pos_v[:, :, off:off + ns].reshape(
+                        B, Ns, point_pos.shape[-1])
+                    feats_s = (
+                        feats_v[:, :, off:off + ns].reshape(
+                            B, Ns, lifted_feats.shape[-1])
+                        if feats_v is not None else None
+                    )
+                    off += ns
+                else:
+                    pts = point_pos[:, off:off + Ns]
+                    feats_s = (
+                        lifted_feats[:, off:off + Ns]
+                        if lifted_feats is not None else None
+                    )
+                    off += Ns
+                acc = self._run_slotted(sec, pts, feats_s, M, acc0=acc)
             return self._finalize(acc, B, M, C, D)
 
         acc = self._run_slotted(slots, point_pos, lifted_feats, M)

@@ -168,10 +168,14 @@ class MAGNOConfig:
     # budget at the 500K DrivAerNet geometry, keeping the node-aligned
     # broadcasts the flat layout loses. Requires precomputed/async slots, the
     # fused encoder, a GNO-only fused-head decoder, a single scale, and no
-    # edge sampling. Node sharding is NOT supported (sections have unequal
-    # node counts).
+    # edge sampling. Node sharding IS supported via SHARD-ALIGNED sections
+    # (SectionedEdgeSlots.shards: the trainer wires setup.node_shards to the
+    # loader's section_shards; degree-sorted nodes are dealt round-robin to
+    # equal shard ranges and section leaves come out shard-major, splitting
+    # exactly at node-shard boundaries).
     sectioned_profile: Optional[List[int]] = None  # pinned per-chunk K list
-    # for edge_layout='sectioned' (len = padded_N / edge_chunk_size). Without
+    # for edge_layout='sectioned' (len = padded_N / edge_chunk_size, or
+    # padded_N / section_shards / edge_chunk_size when node-sharded). Without
     # it the pipeline derives the section structure per batch, and a batch
     # whose per-chunk max degrees differ recompiles the step (the
     # flat_edges_per_chunk analogue). Must cover the observed per-chunk max
@@ -685,13 +689,28 @@ class MAGNODecoder(nn.Module):
                     f"queries have {Nq}"
                 )
             B = query_pos.shape[0]
+            S = sslots.shards
+            if S > 1:
+                # shard-aligned layout: slice section query rows through the
+                # [B, S, Nq/S, 3] view and stitch outputs back shard-major
+                # (see SectionedEdgeSlots.shards)
+                nl = Nq // S
+                qpos_v = query_pos.reshape(B, S, nl, query_pos.shape[-1])
             remat_dec = parse_remat(cfg.remat)[1]
             outs = []
             off = 0
             for sec in sslots.sections:
                 Ns = int(sec.lat_idx.shape[-2])
+                if S > 1:
+                    ns = Ns // S
+                    qsec = qpos_v[:, :, off:off + ns].reshape(
+                        B, Ns, query_pos.shape[-1])
+                    off += ns
+                else:
+                    qsec = query_pos[:, off:off + Ns]
+                    off += Ns
                 chunk_s = effective_chunk(Ns, cfg.edge_chunk_size)
-                pos_cs, _ = reshape_chunks(query_pos[:, off:off + Ns], chunk_s)
+                pos_cs, _ = reshape_chunks(qsec, chunk_s)
                 idx_cs = reshape_chunks(sec.lat_idx, chunk_s)[0]
                 msk_cs = reshape_chunks(sec.mask, chunk_s)[0]
 
@@ -703,7 +722,12 @@ class MAGNODecoder(nn.Module):
                 body = _ckpt(remat_dec, cfg.remat_policy)(body)
                 out = jax.lax.map(lambda a: body(*a), (pos_cs, idx_cs, msk_cs))
                 outs.append(out.swapaxes(0, 1).reshape(B, Ns, self.out_channels))
-                off += Ns
+            if S > 1:
+                # outs[i] is [B, S*ns_i, out] shard-major: stitch per shard
+                # then flatten back to the permuted global node order
+                parts = [o.reshape(B, S, -1, self.out_channels) for o in outs]
+                return jnp.concatenate(parts, axis=2).reshape(
+                    B, Nq, self.out_channels)
             return jnp.concatenate(outs, axis=1)
 
         flat_mode = any(isinstance(s, FlatEdgeChunks) for s in scale_slots)

@@ -28,8 +28,10 @@ than load-bearing.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -155,7 +157,10 @@ class FlatEdgeChunks(NamedTuple):
         return self.src.shape[-1]
 
 
-class SectionedEdgeSlots(NamedTuple):
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("sections",), meta_fields=("shards",))
+@dataclasses.dataclass(frozen=True)
+class SectionedEdgeSlots:
     """Degree-sectioned slot layout: contiguous node ranges, each with its
     own slot width K.
 
@@ -182,9 +187,25 @@ class SectionedEdgeSlots(NamedTuple):
     sections[i] covers nodes [sum_<i Ns, ...) of the PERMUTED point arrays;
     the permutation comes from section_slots_by_degree_np and must also be
     applied to pos/feats/targets (per sample).
+
+    shards (static pytree metadata, default 1): SHARD-ALIGNED sectioning for
+    node-sharded execution (parallel/sharding.py). With shards=S each section
+    leaf is [B, S*ns_i, K_i] laid out SHARD-MAJOR (shard 0's ns_i rows, then
+    shard 1's, ...) and the matching point arrays are permuted so shard s
+    owns the contiguous global range [s*N/S, (s+1)*N/S): sharding every
+    [B, node, ...] leaf over a node mesh axis of size S then splits both the
+    sections and the point arrays exactly at shard boundaries — each device
+    holds its own rows, no resharding collectives. Section i's point rows in
+    the permuted global order are s*N/S + [off_i, off_i + ns_i) per shard, so
+    the model slices through a [B, S, N/S, ...] view (fused_encoder.py /
+    magno.py decode) instead of one contiguous slice. Degree-sorted nodes are
+    dealt round-robin to shards (sorted position j -> shard j % S), so every
+    shard sees the same degree distribution and the SHARED per-chunk K
+    profile pads almost nothing vs the unsharded layout.
     """
 
     sections: Tuple[EdgeSlots, ...]
+    shards: int = 1
 
     @property
     def num_nodes(self) -> int:
@@ -245,6 +266,7 @@ def section_slots_shared(
     node_mask: Optional[np.ndarray] = None,
     profile=None,
     host_arrays: bool = False,
+    shards: int = 1,
 ):
     """Batched degree-sectioning with ONE shared node permutation.
 
@@ -265,13 +287,19 @@ def section_slots_shared(
       max degree or the call raises (edges would be dropped).
     - Identical pair arrays (enc/dec aliasing) produce the SAME
       SectionedEdgeSlots object, preserving buffer sharing downstream.
+    - shards=S > 1 builds the SHARD-ALIGNED layout (see SectionedEdgeSlots):
+      degree-sorted nodes are dealt round-robin to S equal shard ranges, the
+      per-chunk K profile is shared across shards (len = (N/S)//chunk, max
+      over shards) and section leaves come out shard-major [B, S*ns_i, K_i].
     """
     import jax.numpy as _jnp
 
     B, N, K = pairs[0][1].shape
-    if N % chunk != 0:
-        raise ValueError(f"chunk {chunk} must divide N {N}")
-    nc = N // chunk
+    if N % (chunk * shards) != 0:
+        raise ValueError(
+            f"chunk {chunk} x shards {shards} must divide N {N}")
+    n_local = N // shards
+    nc = n_local // chunk
     degs = []
     uniq = []  # (lat, msk) deduped by identity
     pair_slot = []  # index into uniq per pair
@@ -293,12 +321,23 @@ def section_slots_shared(
         deg_all if node_mask is None
         else np.where(node_mask, deg_all, kmax_all + 1)  # pads sort LAST
     )
-    perms = np.argsort(key, axis=1, kind="stable").astype(np.int64)
+    order = np.argsort(key, axis=1, kind="stable").astype(np.int64)
+    if shards == 1:
+        perms = order
+    else:
+        # deal degree-sorted position j to shard j % S, local slot j // S:
+        # perm[b, s*n_local + l] = order[b, l*shards + s]. Every shard gets
+        # the same slice of the degree distribution (and of the pad tail).
+        perms = np.ascontiguousarray(
+            order.reshape(B, n_local, shards).transpose(0, 2, 1)
+        ).reshape(B, N)
     rows = np.arange(B)[:, None]
 
     permuted = [(lat[rows, perms], msk[rows, perms]) for lat, msk in uniq]
     ks_need = np.maximum.reduce([
-        np.maximum(m.sum(axis=2).reshape(B, nc, chunk).max(axis=(0, 2)), 1)
+        np.maximum(
+            m.sum(axis=2).reshape(B, shards, nc, chunk).max(axis=(0, 1, 3)), 1
+        )
         for _, m in permuted
     ])
     if profile is not None:
@@ -322,6 +361,12 @@ def section_slots_shared(
     conv = (lambda a: a) if host_arrays else _jnp.asarray
     outs = []
     for lat_p, msk_p in permuted:
+        # shard-major view: [B, S, n_local, K]; slicing the local axis takes
+        # the same local row range from every shard (S=1: identical to the
+        # plain [B, N, K] slice)
+        kp = lat_p.shape[-1]
+        lat_v = lat_p.reshape(B, shards, n_local, kp)
+        msk_v = msk_p.reshape(B, shards, n_local, kp)
         sections = []
         i = 0
         while i < nc:
@@ -330,21 +375,24 @@ def section_slots_shared(
                 j += 1
             ksec = int(ks[i])
             lo, hi = i * chunk, j * chunk
-            kw = min(ksec, lat_p.shape[-1])
-            if bool(msk_p[:, lo:hi, kw:].any()):
+            kw = min(ksec, kp)
+            if bool(msk_v[:, :, lo:hi, kw:].any()):
                 raise ValueError(
                     "slots are not valid-first packed: a row has a valid "
                     f"slot beyond its section width K={ksec} (compact first)"
                 )
-            li = np.ascontiguousarray(lat_p[:, lo:hi, :kw])
-            mi = np.ascontiguousarray(msk_p[:, lo:hi, :kw])
+            rows_s = shards * (hi - lo)
+            li = np.ascontiguousarray(
+                lat_v[:, :, lo:hi, :kw]).reshape(B, rows_s, kw)
+            mi = np.ascontiguousarray(
+                msk_v[:, :, lo:hi, :kw]).reshape(B, rows_s, kw)
             if kw < ksec:  # pinned profile wider than this pair's K: pad
                 padw = ((0, 0), (0, 0), (0, ksec - kw))
                 li = np.pad(li, padw)
                 mi = np.pad(mi, padw)
             sections.append(EdgeSlots(lat_idx=conv(li), mask=conv(mi)))
             i = j
-        outs.append(SectionedEdgeSlots(sections=tuple(sections)))
+        outs.append(SectionedEdgeSlots(sections=tuple(sections), shards=shards))
     return perms, [outs[u] for u in pair_slot]
 
 
