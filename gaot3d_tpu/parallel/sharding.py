@@ -35,15 +35,23 @@ def _is_spec(x) -> bool:
     return isinstance(x, P)
 
 
-def point_batch_specs(batch: PointBatch, shard_nodes: bool) -> PointBatch:
+def point_batch_specs(batch: PointBatch, shard_nodes: bool,
+                      replicate_data: bool = False) -> PointBatch:
     """PartitionSpec pytree matching `batch`'s exact structure.
 
     Every leaf is laid out [B, N, ...]: B over 'data', N over 'node' when
     shard_nodes, trailing dims (channels, slot count K) replicated. num_nodes
     is [B]-only. Covers enc_slots/dec_slots when present — precomputed edge
     structures are first-class in distributed mode, not silently dropped.
+
+    replicate_data: keep the batch axis replicated (B over no mesh axis).
+    For multi-process GLOBAL batches whose B does not divide the data axis —
+    the unsharded TEST loader (every process iterates the full set,
+    reference stat.py:408-418): each process computes the full (replicated)
+    result, which is also what lets test() fetch predictions host-side.
     """
-    bn = (DATA_AXIS, NODE_AXIS) if shard_nodes else (DATA_AXIS,)
+    data_ax = None if replicate_data else DATA_AXIS
+    bn = (data_ax, NODE_AXIS) if shard_nodes else (data_ax,)
 
     def spec_for(x):
         extra = max(0, x.ndim - len(bn))
@@ -51,7 +59,7 @@ def point_batch_specs(batch: PointBatch, shard_nodes: bool) -> PointBatch:
 
     specs = jax.tree.map(spec_for, batch)
     # num_nodes is [B]: data axis only, never node-sharded
-    return specs._replace(num_nodes=P(DATA_AXIS))
+    return specs._replace(num_nodes=P(data_ax))
 
 
 def point_batch_shardings(mesh: Mesh, shard_nodes: bool,
@@ -73,17 +81,48 @@ def point_batch_shardings(mesh: Mesh, shard_nodes: bool,
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs, is_leaf=_is_spec)
 
 
-def shard_point_batch(batch: PointBatch, mesh: Mesh, shard_nodes: bool = False) -> PointBatch:
-    """Place a host PointBatch onto the mesh with (data[, node]) sharding.
+def shard_point_batch(batch: PointBatch, mesh: Mesh, shard_nodes: bool = False,
+                      process_local: bool = False,
+                      replicate_data: bool = False) -> PointBatch:
+    """Place a host PointBatch onto the mesh with (data[, node]) sharding
+    (replicate_data keeps B unsharded — see point_batch_specs).
 
     Threads precomputed enc_slots/dec_slots through with the same layout as
     the point arrays they index from.
+
+    process_local selects the multi-process interpretation of `batch`:
+
+      - False (default): `batch` is the GLOBAL value — identical on every
+        process. jax.device_put transfers each process's addressable shards
+        from its own copy. This is the single-process path, and the
+        multi-process TEST path (the test loader is unsharded, every process
+        iterates the full set — reference stat.py:408-418).
+      - True: `batch` is this process's LOCAL rows of a larger global batch
+        (the sharded train/val loaders: indices[rank::world], the
+        DistributedSampler replacement). The global batch is the
+        concatenation over processes along the batch axis, assembled with
+        jax.make_array_from_process_local_data. Passing a per-process
+        DIFFERENT batch through plain device_put instead would silently mix
+        half of each process's rows into the global batch (each process only
+        transfers its addressable shards) — exactly the failure class the
+        2-process CI test pins (tests/test_multiprocess.py).
     """
-    specs = point_batch_specs(batch, shard_nodes)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), batch, specs,
-        is_leaf=lambda x: _is_spec(x),
-    )
+    specs = point_batch_specs(batch, shard_nodes, replicate_data)
+
+    def put(x, s):
+        sh = NamedSharding(mesh, s)
+        if process_local and not sh.is_fully_addressable:
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                # already assembled into a global array (idempotent re-place:
+                # the prefetcher put it, then the step's put runs again) —
+                # np.asarray on a multi-process array would raise
+                return x
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch, specs, is_leaf=lambda x: _is_spec(x))
 
 
 def make_sharded_train_step(
@@ -131,12 +170,16 @@ def make_sharded_eval_step(
     mesh: Mesh,
     shard_nodes: bool = False,
     example_batch: Optional[PointBatch] = None,
+    replicate_data: bool = False,
 ):
     """Wrap a pure (params, batch) -> outputs eval step with the SAME batch
     shardings as the train step, so validation/test at 8-10M-node DrivAerML
     scale fits the mesh instead of OOMing one device (the reference evaluates
     through its DDP-wrapped model with ranks sharding batches,
-    src/trainer/stat.py:552-573; round-2 VERDICT item 3)."""
+    src/trainer/stat.py:552-573; round-2 VERDICT item 3).
+
+    replicate_data: for multi-process GLOBAL eval batches (the unsharded
+    test loader) — see point_batch_specs."""
     if example_batch is None:
         import numpy as np
 
@@ -145,7 +188,7 @@ def make_sharded_eval_step(
             target=np.zeros((1, 1, 1)), node_mask=np.zeros((1, 1), bool),
             num_nodes=np.zeros((1,), np.int32),
         )
-    batch_specs = point_batch_specs(example_batch, shard_nodes)
+    batch_specs = point_batch_specs(example_batch, shard_nodes, replicate_data)
     in_shardings = (
         None,  # params replicated (inferred)
         jax.tree.map(lambda spec: NamedSharding(mesh, spec), batch_specs,

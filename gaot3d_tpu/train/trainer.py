@@ -491,18 +491,25 @@ class StaticTrainer3D(TrainerBase):
         magno_cfg = self.model_config.args.magno
         from ..models.magno import parse_edge_layout as _parse_layout
 
+        # node-sharded runs need SHARD-ALIGNED sections: the loader deals
+        # degree-sorted nodes round-robin to node_shards equal ranges and
+        # lays every section leaf out shard-major, so [B, Ns, Ks] leaves
+        # split exactly at node-shard boundaries (SectionedEdgeSlots.shards).
+        self._section_shards = 1
         if ("sectioned" in _parse_layout(magno_cfg.edge_layout)
                 and self.setup_config.distributed
                 and self.setup_config.node_shards > 1):
-            # sections have unequal node counts, so the [B, Ns, Ks] section
-            # leaves cannot shard uniformly over the node mesh axis — fail
-            # here (pure config validation, before the precompute sweep)
-            # instead of an opaque jit divisibility error later.
-            raise ValueError(
-                "magno.edge_layout='sectioned' does not support node "
-                "sharding (setup.node_shards > 1): sections have unequal "
-                "node counts. Use edge_layout='slots' for node-sharded runs."
-            )
+            self._section_shards = self.setup_config.node_shards
+            if dataset_config.pad_multiple % (
+                    self._section_shards * magno_cfg.edge_chunk_size) != 0:
+                # fail here (pure config validation, before the precompute
+                # sweep) instead of an opaque divisibility error at collate
+                raise ValueError(
+                    "sectioned + node sharding needs dataset.pad_multiple "
+                    f"({dataset_config.pad_multiple}) divisible by "
+                    f"node_shards x edge_chunk_size ("
+                    f"{self._section_shards} x {magno_cfg.edge_chunk_size})"
+                )
         slot_mode = "device"
         slot_builder = None
         if dataset_config.update_pt_files_with_edges:
@@ -636,6 +643,7 @@ class StaticTrainer3D(TrainerBase):
             flat_order=magno_cfg.flat_order,
             flat_edges_per_chunk=magno_cfg.flat_edges_per_chunk or 0,
             sectioned_profile=getattr(magno_cfg, "sectioned_profile", None),
+            section_shards=self._section_shards,
         )
         # HBM-resident batch caches (DatasetConfig.device_cache): cached
         # entries are placed with the trainer's own put (harvested layouts /
@@ -835,6 +843,16 @@ class StaticTrainer3D(TrainerBase):
         diff = (pred - batch.target) * batch.node_mask[..., None]
         sq = (diff * diff).sum(axis=(1, 2))
         cnt = batch.node_mask.sum(axis=1) * pred.shape[-1]
+        if self.mesh is not None and self.num_processes > 1:
+            # replicate the per-sample components inside the jit (GSPMD
+            # all-gather): the raw outputs inherit the data-axis sharding,
+            # which spans processes — a host np.asarray on such an array
+            # raises; fully-replicated arrays fetch fine on every process
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            sq = jax.lax.with_sharding_constraint(sq, rep)
+            cnt = jax.lax.with_sharding_constraint(cnt, rep)
         return sq, cnt
 
     def _device_put_batch(self, batch: PointBatch) -> PointBatch:
@@ -861,17 +879,19 @@ class StaticTrainer3D(TrainerBase):
                                      process_local=self.num_processes > 1)
         return jax.device_put(batch)
 
-    def _device_put_eval_batch(self, batch: PointBatch,
-                               process_local: bool = False) -> PointBatch:
+    def _device_put_eval_batch(self, batch: PointBatch) -> PointBatch:
         """Eval twin of _device_put_batch using the EVAL step's harvested
         layouts — placing eval batches in the TRAIN formats first would
         relayout each batch twice (train formats in the prefetcher, eval
         formats at dispatch).
 
-        process_local=False is the TEST-loader semantics (unsharded: every
-        process iterates the full set, each batch is the global value —
-        reference stat.py:408-418); the VAL loader is per-process sharded,
-        so validate() places through _device_put_val_batch instead."""
+        GLOBAL-batch semantics (the test / validate_on_test loaders are
+        unsharded: every process iterates the full set, each batch is the
+        global value — reference stat.py:408-418). Multi-process runs
+        REPLICATE the batch axis: the global B (often 1) need not divide the
+        data mesh axis, and replicated outputs are host-fetchable on every
+        process (test() pulls predictions). The per-process SHARDED val
+        loader places through _device_put_val_batch instead."""
         fmts = self._eval_batch_formats.get(self._format_key(batch))
         if fmts:
             from ..utils.layout import put_to_formats
@@ -881,14 +901,18 @@ class StaticTrainer3D(TrainerBase):
             from ..parallel import shard_point_batch
 
             return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes,
-                                     process_local=process_local)
+                                     replicate_data=self.num_processes > 1)
         return jax.device_put(batch)
 
     def _device_put_val_batch(self, batch: PointBatch) -> PointBatch:
         """Placement for the per-process SHARDED val loader: its batches are
         process-local rows of the global validation batch."""
-        return self._device_put_eval_batch(
-            batch, process_local=self.num_processes > 1)
+        if self.mesh is not None:
+            from ..parallel import shard_point_batch
+
+            return shard_point_batch(batch, self.mesh, shard_nodes=self._shard_nodes,
+                                     process_local=self.num_processes > 1)
+        return jax.device_put(batch)
 
     # layout harvesting threshold: below this node count the relayout cost is
     # negligible and the extra AOT lower+compile (a compilation-cache hit
@@ -999,15 +1023,14 @@ class StaticTrainer3D(TrainerBase):
         )
         return loss
 
-    def eval_step(self, batch: PointBatch, process_local: bool = False):
+    def eval_step(self, batch: PointBatch):
         """Mesh-aware eval: batches shard over (data[, node]) exactly like
         training, so evaluation at DrivAerML scale does not OOM one device
         (reference: eval runs through the same DDP wrap, stat.py:552-573).
-
-        process_local: set for batches from the per-process SHARDED val
-        loader (validate() does); test batches are global values."""
-        put = (self._device_put_val_batch if process_local
-               else self._device_put_eval_batch)
+        All callers pass GLOBAL batches (test / validate_on_test / the
+        single-process validate); the per-process sharded val loader goes
+        through _validate_multiprocess instead."""
+        put = self._device_put_eval_batch
         if self._jit_eval_step is None:
             batch = put(batch)
             from ..parallel import make_sharded_eval_step
@@ -1015,6 +1038,7 @@ class StaticTrainer3D(TrainerBase):
             self._jit_eval_step = make_sharded_eval_step(
                 self._eval_step, self.mesh, shard_nodes=self._shard_nodes,
                 example_batch=batch,
+                replicate_data=self.num_processes > 1,
             )
         # harvest before the first placement/execution (see train_step: the
         # dispatch relayout copies of an unharmonized first call are device

@@ -124,10 +124,12 @@ def test_flat_edge_layout_requires_host_slots(tmp_path):
         StaticTrainer3D(cfg)
 
 
-def test_sectioned_rejects_node_sharding(tmp_path):
-    """edge_layout='sectioned' + node_shards>1 must fail with a clear config
-    error at trainer init, not an opaque jit divisibility error (sections
-    have unequal node counts, so section leaves cannot shard uniformly)."""
+def test_sectioned_node_sharding_pad_multiple_guard(tmp_path):
+    """edge_layout='sectioned' + node_shards>1 is supported via shard-aligned
+    sections, but needs pad_multiple divisible by node_shards x
+    edge_chunk_size — an incompatible pad_multiple must fail with a clear
+    config error at trainer init, not an opaque collate/jit divisibility
+    error."""
     from gaot3d_tpu.config import RunConfig
     from gaot3d_tpu.train.trainer import StaticTrainer3D
     from gaot3d_tpu.utils.dataclass_utils import merge_config
@@ -136,11 +138,13 @@ def test_sectioned_rejects_node_sharding(tmp_path):
         "setup": {"distributed": True, "node_shards": 2},
         "dataset": {"base_path": str(tmp_path), "name": "synthetic_smoke",
                     "metaname": "synthetic/unit_cube",
-                    "update_pt_files_with_edges": True},
+                    "update_pt_files_with_edges": True,
+                    "pad_multiple": 96},  # not divisible by 2 x 64
         "model": {"args": {"magno": {"edge_layout": "sectioned",
-                                     "slot_budget": 4}}},
+                                     "slot_budget": 4,
+                                     "edge_chunk_size": 64}}},
     })
-    with pytest.raises(ValueError, match="node shard"):
+    with pytest.raises(ValueError, match="pad_multiple"):
         StaticTrainer3D(cfg)
 
 
