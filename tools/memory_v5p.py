@@ -32,7 +32,7 @@ V5P_HBM_GB = 95.0  # per chip
 
 
 def build(topology: str, nodes: int, data: int, node: int, batch: int,
-          chunk: int, budget: int, latent=(64, 64, 32)):
+          chunk: int, budget: int, latent=(64, 64, 32), sections=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -94,7 +94,23 @@ def build(topology: str, nodes: int, data: int, node: int, batch: int,
 
     B, N, K = batch, nodes, budget
     sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
-    slots = EdgeSlots(sds((B, N, K), jnp.int32), sds((B, N, K), jnp.bool_))
+    if sections:
+        # shard-aligned degree-sectioned layout (the bench default since
+        # round 5): sections = [(rows, k), ...] with rows summing to N and
+        # each divisible by the node-shard count; shapes only, the AOT
+        # analysis never touches values
+        from gaot3d_tpu.ops.grid_graph import SectionedEdgeSlots
+
+        assert sum(r for r, _ in sections) == N, (sections, N)
+        slots = SectionedEdgeSlots(
+            sections=tuple(
+                EdgeSlots(sds((B, r, k), jnp.int32), sds((B, r, k), jnp.bool_))
+                for r, k in sections
+            ),
+            shards=max(node, 1),
+        )
+    else:
+        slots = EdgeSlots(sds((B, N, K), jnp.int32), sds((B, N, K), jnp.bool_))
     batch_sds = PointBatch(
         pos=sds((B, N, 3), jnp.float32),
         feats=sds((B, N, 1), jnp.float32),
@@ -136,6 +152,7 @@ def build(topology: str, nodes: int, data: int, node: int, batch: int,
     return ma, dict(topology=topology, nodes=nodes, batch=batch,
                     mesh=f"(data={data},node={node})", chunk=chunk,
                     budget=budget, latent=list(latent),
+                    sections=[list(x) for x in sections] if sections else None,
                     lower_s=round(t_lower, 1), compile_s=round(t_compile, 1))
 
 
@@ -163,8 +180,10 @@ def report(ma, meta, out_md=None, out_json=None):
         f"mesh {meta['mesh']}, {meta['nodes']:,} nodes, batch {meta['batch']}, "
         f"slot budget {meta['budget']}, edge chunk {meta['chunk']}, "
         f"latent {'x'.join(map(str, meta['latent']))}, full bench recipe "
-        f"(hidden 256 / 10 layers / remat on / bf16 kernel MLPs). "
-        f"AOT-compiled via jax.experimental.topologies in {meta['compile_s']}s.",
+        f"(hidden 256 / 10 layers / remat on / bf16 kernel MLPs)"
+        + (f", SHARD-ALIGNED DEGREE SECTIONS {meta['sections']}"
+           if meta.get("sections") else "")
+        + f". AOT-compiled via jax.experimental.topologies in {meta['compile_s']}s.",
         "",
         "| per-chip quantity | bytes | GB |",
         "|---|---|---|",
@@ -199,11 +218,18 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--budget", type=int, default=5)
+    ap.add_argument("--sections", default=None,
+                    help="'rows:k,rows:k,...' shard-aligned degree sections "
+                         "(rows sum to --nodes, each divisible by --node)")
     ap.add_argument("--out", default="MEMORY_V5P.md")
     ap.add_argument("--json", default="MEMORY_V5P.json")
     args = ap.parse_args(argv)
+    sections = None
+    if args.sections:
+        sections = [tuple(int(v) for v in part.split(":"))
+                    for part in args.sections.split(",")]
     ma, meta = build(args.topology, args.nodes, args.data, args.node,
-                     args.batch, args.chunk, args.budget)
+                     args.batch, args.chunk, args.budget, sections=sections)
     report(ma, meta, args.out, args.json)
 
 
