@@ -36,9 +36,11 @@ MAGIC = b"GAOTX001"
 def _register_pytrees():
     """jax.export serializes call signatures, so the framework's NamedTuple
     pytrees (edge structures) need stable serialization names."""
+    import json
+
     from jax import export as jax_export
 
-    from .ops.grid_graph import EdgeSlots, FlatEdgeChunks
+    from .ops.grid_graph import EdgeSlots, FlatEdgeChunks, SectionedEdgeSlots
 
     for cls in (EdgeSlots, FlatEdgeChunks):
         try:
@@ -52,6 +54,20 @@ def _register_pytrees():
             # later as an opaque signature mismatch far from here
             if f"serialized_name `gaot3d_tpu.{cls.__name__}`" not in str(e):
                 raise
+    # SectionedEdgeSlots is a register_dataclass pytree (data: the sections
+    # tuple; static auxdata: the `shards` int) — the degree-sectioned DEFAULT
+    # layout (bench/trainer since round 5) must ride exports too. Auxdata is
+    # JSON so the serialized signature stays stable and readable.
+    try:
+        jax_export.register_pytree_node_serialization(
+            SectionedEdgeSlots,
+            serialized_name="gaot3d_tpu.SectionedEdgeSlots",
+            serialize_auxdata=lambda aux: json.dumps(list(aux)).encode(),
+            deserialize_auxdata=lambda b: tuple(json.loads(b.decode())),
+        )
+    except ValueError as e:
+        if "gaot3d_tpu.SectionedEdgeSlots" not in str(e):
+            raise
 
 
 def export_inference(

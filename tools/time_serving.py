@@ -156,12 +156,65 @@ def main():
           f"load {result['load_s']}s, first call {result['first_call_s']}s",
           flush=True)
 
-    # exported vs in-process must agree numerically (same params/program)
+    # exported vs in-process must agree numerically (same params + math, but
+    # TWO independent XLA compilations — the StableHLO roundtrip changes
+    # fusion/reassociation choices, and on TPU f32 matmuls additionally run
+    # as a single bf16 pass, ~0.3% rel vs f64). Measured on the 10-layer
+    # model: both paths deterministic, error spread over >90% of rows (noise,
+    # not a localized bug), max rel 3.9e-4 on CPU f32 at 4K nodes / 1.8e-3 on
+    # TPU at 500K. Tiny models still match at 1e-6 (tests/test_serve.py).
+    tol = 5e-3
     a = infer(pos, feats, mask, slots, slots)
     b = eval_fn(params, pos, feats, mask, [slots], [slots])
     rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
     result["export_vs_inproc_rel_err"] = rel
-    assert rel < 1e-5, f"exported artifact diverges from in-process: {rel}"
+    assert rel < tol, f"exported artifact diverges from in-process: {rel}"
+
+    # --- degree-sectioned serving (the round-5 DEFAULT layout: bench eval
+    # 500K went 5.08 -> 7.01 samples/s with sections). Serving contract: the
+    # caller preprocesses once per mesh (section_slots_by_degree_batched),
+    # feeds degree-permuted pos/feats, and unpermutes predictions — exactly
+    # the trainer/bench preprocessing. Skip with BENCH_SERVE_SECTIONS=0.
+    if os.environ.get("BENCH_SERVE_SECTIONS", "1") == "1":
+        from gaot3d_tpu.models.integral_transform import effective_chunk
+        from gaot3d_tpu.ops.grid_graph import section_slots_by_degree_batched
+
+        chunk = effective_chunk(N, magno.edge_chunk_size)
+        perms, sect = section_slots_by_degree_batched(
+            lat_np[None], msk_np[None], chunk)
+        rows = sect.num_slot_rows
+        print(f"# sections: {[tuple(s.lat_idx.shape[1:]) for s in sect.sections]}"
+              f" -> {rows} rows ({rows / (N * max(budget, 1)):.3f}x uniform)",
+              flush=True)
+        pos_s = jnp.asarray(pos_np[:, perms[0]])
+        feats_s = feats[:, perms[0]]
+        t = time_calls(eval_fn, params, pos_s, feats_s, mask, [sect], [sect])
+        result["sections_inproc_latency_s"] = round(t, 4)
+        result["sections_inproc_sps"] = round(B / t, 4)
+        print(f"# in-process sectioned eval: {t:.4f}s ({B / t:.3f} samples/s)",
+              flush=True)
+
+        spath = path + ".sections"
+        t0 = time.perf_counter()
+        export_inference(edge_model, params, (pos_s, feats_s, mask, sect, sect),
+                         spath)
+        result["sections_export_s"] = round(time.perf_counter() - t0, 2)
+        result["sections_artifact_mib"] = round(
+            os.path.getsize(spath) / 2**20, 1)
+        infer_s = load_inference(spath)
+        t0 = time.perf_counter()
+        fetch_sync(infer_s(pos_s, feats_s, mask, sect, sect))
+        result["sections_first_call_s"] = round(time.perf_counter() - t0, 2)
+        t = time_calls(infer_s, pos_s, feats_s, mask, sect, sect)
+        result["sections_exported_latency_s"] = round(t, 4)
+        result["sections_exported_sps"] = round(B / t, 4)
+        print(f"# exported sectioned call: {t:.4f}s ({B / t:.3f} samples/s)",
+              flush=True)
+        a = infer_s(pos_s, feats_s, mask, sect, sect)
+        b = eval_fn(params, pos_s, feats_s, mask, [sect], [sect])
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+        result["sections_export_vs_inproc_rel_err"] = rel
+        assert rel < tol, f"sectioned export diverges from in-process: {rel}"
 
     # --- optional: bucket-bundle padding dispatcher overhead
     buckets_env = os.environ.get("BENCH_SERVE_BUCKETS", "")
