@@ -316,9 +316,13 @@ class BatchLoader:
             enc_layout, dec_layout = self.edge_layout
             if enc_layout == "sectioned":  # parse guarantees both sides
                 # degree-sectioned layout: ONE shared node permutation per
-                # sample (ascending combined degree, pads last — the
-                # valid-prefix property of padded batches is preserved), one
-                # shared section structure for enc/dec (keeps the aliasing).
+                # sample (ascending combined degree, pads last). With
+                # section_shards == 1 pads stay a single global tail (the
+                # valid-prefix property holds); with shards > 1 the round-
+                # robin deal places pads at the tail of EACH shard's range,
+                # so consumers must select valid rows by node_mask, not by
+                # [:n] prefix (trainer.test() does). One shared section
+                # structure for enc/dec (keeps the aliasing).
                 # The sample arrays are permuted to match.
                 from ..models.integral_transform import effective_chunk
                 from ..ops.grid_graph import section_slots_shared

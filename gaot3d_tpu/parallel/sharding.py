@@ -171,6 +171,7 @@ def make_sharded_eval_step(
     shard_nodes: bool = False,
     example_batch: Optional[PointBatch] = None,
     replicate_data: bool = False,
+    replicate_outputs: bool = False,
 ):
     """Wrap a pure (params, batch) -> outputs eval step with the SAME batch
     shardings as the train step, so validation/test at 8-10M-node DrivAerML
@@ -194,4 +195,11 @@ def make_sharded_eval_step(
         jax.tree.map(lambda spec: NamedSharding(mesh, spec), batch_specs,
                      is_leaf=_is_spec),
     )
+    if replicate_outputs:
+        # multi-process test(): the host fetches full predictions, but with
+        # shard_nodes the inferred output sharding leaves pred's node axis
+        # spanning non-addressable devices (np.asarray raises). Replicating
+        # outputs inserts one all-gather per eval call — fine for test().
+        return jax.jit(eval_step, in_shardings=in_shardings,
+                       out_shardings=NamedSharding(mesh, P()))
     return jax.jit(eval_step, in_shardings=in_shardings)

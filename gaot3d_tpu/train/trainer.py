@@ -1039,6 +1039,8 @@ class StaticTrainer3D(TrainerBase):
                 self._eval_step, self.mesh, shard_nodes=self._shard_nodes,
                 example_batch=batch,
                 replicate_data=self.num_processes > 1,
+                # test() fetches full predictions on every process
+                replicate_outputs=self.num_processes > 1,
             )
         # harvest before the first placement/execution (see train_step: the
         # dispatch relayout copies of an unharmonized first call are device
@@ -1250,12 +1252,16 @@ class StaticTrainer3D(TrainerBase):
                     shard_nodes=self._shard_nodes, example_batch=batch,
                 )
             sq, cnt = self._jit_val_step(self.state.params, batch)
-            sq = np.asarray(sq).reshape(self.num_processes, b_local)
-            cnt = np.asarray(cnt).reshape(self.num_processes, b_local)
+            # rank-mean reconstruction runs in jnp on the replicated outputs
+            # and ACCUMULATES ON DEVICE — one host value-fetch after the
+            # loop, matching validate()'s single-sync design (a per-batch
+            # np.asarray here would pay a tunnel round trip per step)
+            sq = sq.reshape(self.num_processes, b_local)
+            cnt = cnt.reshape(self.num_processes, b_local)
             rank_sq = sq.sum(axis=1)
-            rank_cnt = np.maximum(cnt.sum(axis=1), 1)
-            total += float((rank_sq / rank_cnt).sum())
-        return total / len(loader.dataset)
+            rank_cnt = jnp.maximum(cnt.sum(axis=1), 1)
+            total = total + (rank_sq / rank_cnt).sum()
+        return float(total) / len(loader.dataset)
 
     def test(self) -> Dict[str, float]:
         """Timed inference + metric suites (reference: stat.py:575-788)."""
@@ -1271,10 +1277,10 @@ class StaticTrainer3D(TrainerBase):
         while True:
             t0 = time.time()
             try:
-                batch = next(it)
+                batch_host = next(it)
             except StopIteration:
                 break
-            batch = self._device_put_eval_batch(batch)
+            batch = self._device_put_eval_batch(batch_host)
             jax.block_until_ready(batch.pos)
             data_times.append(time.time() - t0)
 
@@ -1288,19 +1294,33 @@ class StaticTrainer3D(TrainerBase):
             pred_np = np.asarray(pred)
             inference_times.append(time.time() - t1)
 
-            counts = np.asarray(batch.num_nodes)
+            # read targets/mask/pos from the PRE-PLACEMENT host batch: the
+            # device batch's node axis is sharded over the mesh, and in
+            # multi-process runs those leaves span non-addressable devices
+            # (np.asarray would raise). The test loader is unsharded — every
+            # process holds the full global batch locally.
+            counts = np.asarray(batch_host.num_nodes)
             total_samples += int((counts > 0).sum())
-            target_np = np.asarray(batch.target)
+            target_np = np.asarray(batch_host.target)
+            # select valid rows by MASK, not by [:n] prefix: shard-aligned
+            # sectioning (section_shards > 1) deals padded nodes to the tail
+            # of EACH shard's range, so valid rows are per-shard prefixes,
+            # not one global prefix. Boolean selection is layout-agnostic
+            # (identical to the prefix slice for unsectioned batches), and
+            # metrics/plots are row-order invariant (pos is permuted with
+            # the values).
+            mask_np = np.asarray(batch_host.node_mask)
             for b in range(pred_np.shape[0]):
                 n = int(counts[b])
                 if n == 0:
                     continue
-                p_den = pred_np[b, :n] * u_std + u_mean
-                t_den = target_np[b, :n] * u_std + u_mean
+                m = mask_np[b]
+                p_den = pred_np[b][m] * u_std + u_mean
+                t_den = target_np[b][m] * u_std + u_mean
                 all_preds.append(p_den)
                 all_targets.append(t_den)
                 if plot_coords is None and self.is_main:
-                    plot_coords = np.asarray(batch.pos[b, :n])
+                    plot_coords = np.asarray(batch_host.pos)[b][m]
                     plot_gtr = t_den
                     plot_prd = p_den
 

@@ -326,3 +326,64 @@ def test_host_staged_precomputed_identical(tmp_path, monkeypatch):
               monkeypatch, overrides=common)[1]
     assert r1["train"]["loss"] == r2["train"]["loss"]
     assert r1["valid"]["loss"] == r2["valid"]["loss"]
+
+
+def test_sectioned_sharded_test_metrics_match_uniform(tmp_path, monkeypatch):
+    """test() under SHARD-ALIGNED sectioning (section_shards > 1): padded
+    nodes are dealt to the tail of EACH shard's range, not the global tail,
+    so valid rows must be selected by node_mask — the old [:n] prefix slice
+    mixed pad rows (denormalized to u_mean garbage) into the metric suites
+    and dropped valid rows. Pin: with identical params, the sectioned
+    node-sharded test() metrics match the uniform-layout metrics."""
+    trainer, result = _run(
+        "configs/examples/synthetic/smoke.yaml", tmp_path, monkeypatch,
+        overrides={
+            "optimizer": {"args": {"epoch": 1}},
+            "setup": {"test": False},
+            "dataset": {"update_pt_files_with_edges": True,
+                        "pad_multiple": 256},
+            "model": {"args": {"magno": {"gno_radius": 0.15,
+                                         "slot_budget": 16,
+                                         "edge_chunk_size": 128}}},
+        },
+    )
+    m_plain = trainer.test()
+
+    from gaot3d_tpu.config import load_run_config
+    from gaot3d_tpu.train.trainer import init_trainer
+    from gaot3d_tpu.utils.dataclass_utils import merge_config
+
+    cfg = load_run_config(os.path.join(REPO, "configs/examples/synthetic/smoke.yaml"))
+    base = str(tmp_path)
+    cfg = merge_config(cfg, {
+        # data axis pinned to 2 so the smoke batch size (2) divides it
+        "setup": {"distributed": True, "node_shards": 2, "data_parallel": 2,
+                  "test": False},
+        "dataset": {"base_path": os.path.join(base, "data"),
+                    "update_pt_files_with_edges": True,
+                    "pad_multiple": 256},
+        "model": {"args": {"magno": {"gno_radius": 0.15,
+                                     "slot_budget": 16,
+                                     "edge_chunk_size": 128,
+                                     "edge_layout": "sectioned"}}},
+        "path": {"ckpt_path": f"{base}/c2.msgpack", "loss_path": f"{base}/l2.png",
+                 "result_path": f"{base}/r2.png", "database_path": f"{base}/d2.csv"},
+    })
+    t2 = init_trainer(cfg)
+    t2.state = t2.state.replace(params=trainer.state.params)
+    # the smoke samples have n < n_pad, so each shard range ends in pads
+    batch = next(iter(t2.test_loader))
+    from gaot3d_tpu.ops.grid_graph import SectionedEdgeSlots
+
+    assert isinstance(batch.enc_slots[0], SectionedEdgeSlots)
+    assert batch.enc_slots[0].shards == 2
+    mask = np.asarray(batch.node_mask)
+    n_pad = mask.shape[1]
+    half = n_pad // 2
+    assert not mask[0].all() and mask[0, :half].sum() != int(mask[0].sum()), (
+        "fixture must exercise per-shard pad tails")
+    m_sec = t2.test()
+    for key in ("MSE", "MAE"):
+        if key in m_plain:
+            np.testing.assert_allclose(m_sec[key], m_plain[key], rtol=2e-3,
+                                       err_msg=key)

@@ -24,7 +24,7 @@ echo "=== driver_default ($(date +%H:%M:%S)) ==="
 timeout 3600 python bench.py > /tmp/ab_driver_default.log 2>&1
 echo "rc=$? $(tail -1 /tmp/ab_driver_default.log | head -c 300)"
 
-run baseline_slots
+run baseline_slots BENCH_DEGREE_SECTIONS=0  # pin: AUTO (post round-5) enables sections on precomputed slots legs
 run flat_src BENCH_EDGE_LAYOUT=flat
 run flat_dst BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst
 # flat packs ~2.4 edges/node vs 8 slots/node, so the per-chunk edge-row count
@@ -37,7 +37,7 @@ run flat_dst_128k BENCH_EDGE_LAYOUT=flat BENCH_FLAT_ORDER=dst BENCH_CHUNK=131072
 # 21% of total XLA-op time, so even a few % either way matters). One leg on
 # the winner-so-far layout would be ideal, but layout isn't decided yet —
 # measure on the driver-default slotted layout for a clean single-variable A/B
-run attn_bwd_split GAOT_ATTN_BWD_FUSED=0
+run attn_bwd_split BENCH_DEGREE_SECTIONS=0 GAOT_ATTN_BWD_FUSED=0
 
 # INFERENCE legs (microbench says the optimum differs by direction: flat
 # encoder + slotted decoder should win eval) — wall-timed eval, 2 steps of

@@ -23,7 +23,7 @@ echo "=== driver_default ($(date +%H:%M:%S)) ==="
 timeout 5400 python bench.py > /tmp/r5_driver_default.log 2>&1
 echo "rc=$? $(tail -1 /tmp/r5_driver_default.log | head -c 300)"
 
-run baseline_slots_500k
+run baseline_slots_500k BENCH_DEGREE_SECTIONS=0  # pin: AUTO now enables sections
 run sections_500k BENCH_DEGREE_SECTIONS=1
 
 # Inference bisect: eval-only wall timing (inference_sps), 2 train steps to
@@ -37,7 +37,7 @@ for leg in "eval_bf16 " "eval_f32 BENCH_KERNEL_DTYPE=float32"; do
   echo "rc=$? $(grep -o '"inference_sps": [0-9.]*' "/tmp/r5_${name}.log")"
 done
 
-run baseline_slots_2m BENCH_NODES=2097152
+run baseline_slots_2m BENCH_DEGREE_SECTIONS=0 BENCH_NODES=2097152
 run sections_2m BENCH_DEGREE_SECTIONS=1 BENCH_NODES=2097152
 
 echo "=== summary ==="

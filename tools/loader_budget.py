@@ -28,8 +28,9 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="configs/examples/synthetic/tpu_8m.yaml")
-    ap.add_argument("--device-step-s", type=float, default=5.199,
-                    help="device step time to feed (PIPELINE_8M.md scale table)")
+    ap.add_argument("--device-step-s", type=float, default=2.323,
+                    help="device step time to feed (round-5 sectioned 8M "
+                         "step; uniform-slot r4 was 5.199)")
     ap.add_argument("--workers", default="0,2,4")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
@@ -85,11 +86,20 @@ def main():
 
     # --- end-to-end loader at num_workers settings -------------------------
     legs = {}
+    magno_cfg = cfg.model.args.magno
     for w in [int(x) for x in args.workers.split(",")]:
+        # honor the config's edge_layout: the production tpu_8m recipe runs
+        # 'sectioned', whose per-batch degree argsort + permutation copies +
+        # section repack are host work this budget must include (timing the
+        # uniform-slots loader here would understate host_load for the
+        # recommended configuration)
         loader = BatchLoader(
             ds, pre, batch_size=ds_cfg.batch_size,
             pad_multiple=ds_cfg.pad_multiple, slot_mode="precomputed",
-            num_scales=1, num_workers=w, host_arrays=True)
+            num_scales=1, num_workers=w, host_arrays=True,
+            edge_layout=magno_cfg.edge_layout,
+            edge_chunk_size=magno_cfg.edge_chunk_size)
+        result["edge_layout"] = str(magno_cfg.edge_layout)
         times = []
         t_prev = time.perf_counter()
         for batch in loader:

@@ -228,6 +228,17 @@ def main(argv=None):
     if args.sections:
         sections = [tuple(int(v) for v in part.split(":"))
                     for part in args.sections.split(",")]
+        total = sum(rows for rows, _ in sections)
+        if total != args.nodes:
+            ap.error(f"--sections rows sum to {total}, need --nodes "
+                     f"{args.nodes}")
+        bad = [rows for rows, _ in sections if rows % args.node]
+        if bad:
+            # catch here, not as an opaque GSPMD divisibility error deep in
+            # the AOT lower/compile (shard-aligned sections split every leaf
+            # at node-shard boundaries)
+            ap.error(f"--sections row counts {bad} not divisible by --node "
+                     f"{args.node}")
     ma, meta = build(args.topology, args.nodes, args.data, args.node,
                      args.batch, args.chunk, args.budget, sections=sections)
     report(ma, meta, args.out, args.json)
