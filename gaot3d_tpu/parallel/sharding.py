@@ -109,18 +109,33 @@ def shard_point_batch(batch: PointBatch, mesh: Mesh, shard_nodes: bool = False,
     """
     specs = point_batch_specs(batch, shard_nodes, replicate_data)
 
+    # buffer-identity dedup: the loader deliberately ALIASES bitwise-equal
+    # encoder/decoder slot arrays to one host buffer (~210 MB at 8M nodes);
+    # placing each leaf independently would transfer and store those bytes
+    # twice. Keyed by (id, spec) — the same host buffer placed under two
+    # different shardings must not share (cf. utils/layout.put_to_formats'
+    # format-aware dedup). id() keys stay valid while `batch` holds the refs.
+    memo: dict = {}
+
     def put(x, s):
+        key = (id(x), s)
+        if key in memo:
+            return memo[key]
         sh = NamedSharding(mesh, s)
         if process_local and not sh.is_fully_addressable:
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
                 # already assembled into a global array (idempotent re-place:
                 # the prefetcher put it, then the step's put runs again) —
                 # np.asarray on a multi-process array would raise
-                return x
-            import numpy as np
+                out = x
+            else:
+                import numpy as np
 
-            return jax.make_array_from_process_local_data(sh, np.asarray(x))
-        return jax.device_put(x, sh)
+                out = jax.make_array_from_process_local_data(sh, np.asarray(x))
+        else:
+            out = jax.device_put(x, sh)
+        memo[key] = out
+        return out
 
     return jax.tree.map(put, batch, specs, is_leaf=lambda x: _is_spec(x))
 

@@ -500,15 +500,19 @@ class StaticTrainer3D(TrainerBase):
                 and self.setup_config.distributed
                 and self.setup_config.node_shards > 1):
             self._section_shards = self.setup_config.node_shards
-            if dataset_config.pad_multiple % (
-                    self._section_shards * magno_cfg.edge_chunk_size) != 0:
+            if dataset_config.pad_multiple % self._section_shards != 0:
                 # fail here (pure config validation, before the precompute
-                # sweep) instead of an opaque divisibility error at collate
+                # sweep) instead of an opaque divisibility error at collate.
+                # Divisibility by section_shards is SUFFICIENT: the loader
+                # only needs n_pad % shards == 0 (pipeline.py), and the
+                # per-shard chunking adapts via effective_chunk — requiring
+                # pad_multiple % (shards * edge_chunk_size) here would
+                # reject the shipped pad_multiple 65536 + node_shards 2
+                # configuration, which works.
                 raise ValueError(
                     "sectioned + node sharding needs dataset.pad_multiple "
                     f"({dataset_config.pad_multiple}) divisible by "
-                    f"node_shards x edge_chunk_size ("
-                    f"{self._section_shards} x {magno_cfg.edge_chunk_size})"
+                    f"node_shards ({self._section_shards})"
                 )
         slot_mode = "device"
         slot_builder = None
@@ -1233,34 +1237,35 @@ class StaticTrainer3D(TrainerBase):
         returns per-sample components and the rank means are reconstructed
         host-side — every process computes the same total, no collective
         needed beyond the SPMD step itself."""
-        if self._jit_val_step is None:
-            from ..parallel import make_sharded_eval_step
-
-            # lazily built from the first placed batch (same reason as
-            # _jit_eval_step: the in_shardings pytree must match the batch
-            # structure incl. optional edge slots)
-            self._jit_val_step = "pending"
         total = 0.0
         b_local = loader.batch_size
+        # host staging (>=4M nodes/batch): the per-batch value sync is
+        # load-bearing — it keeps ONE batch device-resident (async dispatch
+        # would queue 2-3 ~0.8 GB global eval batches on top of the step
+        # temps, the round-4 RESOURCE_EXHAUSTED class). Smaller recipes
+        # accumulate on device with a single fetch after the loop.
+        sync_per_batch = self._host_stage_batches()
         for batch in prefetch_to_device(iter(loader), put_fn=(lambda b: b)):
             batch = self._device_put_val_batch(batch)
-            if self._jit_val_step == "pending":
+            if self._jit_val_step is None:
                 from ..parallel import make_sharded_eval_step
 
+                # lazily built from the first placed batch (same reason as
+                # _jit_eval_step: the in_shardings pytree must match the
+                # batch structure incl. optional edge slots)
                 self._jit_val_step = make_sharded_eval_step(
                     self._val_components_step, self.mesh,
                     shard_nodes=self._shard_nodes, example_batch=batch,
                 )
             sq, cnt = self._jit_val_step(self.state.params, batch)
             # rank-mean reconstruction runs in jnp on the replicated outputs
-            # and ACCUMULATES ON DEVICE — one host value-fetch after the
-            # loop, matching validate()'s single-sync design (a per-batch
-            # np.asarray here would pay a tunnel round trip per step)
+            # (a per-batch np.asarray would pay a tunnel round trip per step)
             sq = sq.reshape(self.num_processes, b_local)
             cnt = cnt.reshape(self.num_processes, b_local)
             rank_sq = sq.sum(axis=1)
             rank_cnt = jnp.maximum(cnt.sum(axis=1), 1)
-            total = total + (rank_sq / rank_cnt).sum()
+            term = (rank_sq / rank_cnt).sum()
+            total = total + (float(term) if sync_per_batch else term)
         return float(total) / len(loader.dataset)
 
     def test(self) -> Dict[str, float]:

@@ -126,26 +126,34 @@ def test_flat_edge_layout_requires_host_slots(tmp_path):
 
 def test_sectioned_node_sharding_pad_multiple_guard(tmp_path):
     """edge_layout='sectioned' + node_shards>1 is supported via shard-aligned
-    sections, but needs pad_multiple divisible by node_shards x
-    edge_chunk_size — an incompatible pad_multiple must fail with a clear
-    config error at trainer init, not an opaque collate/jit divisibility
-    error."""
+    sections and needs pad_multiple divisible by node_shards (the loader
+    requirement; per-shard chunking adapts via effective_chunk) — an
+    incompatible pad_multiple must fail with a clear config error at trainer
+    init, not an opaque collate/jit divisibility error. pad_multiple NOT
+    divisible by shards*edge_chunk_size but divisible by shards is VALID
+    (the shipped pad_multiple 65536 + node_shards 2 case)."""
     from gaot3d_tpu.config import RunConfig
     from gaot3d_tpu.train.trainer import StaticTrainer3D
     from gaot3d_tpu.utils.dataclass_utils import merge_config
 
-    cfg = merge_config(RunConfig(), {
-        "setup": {"distributed": True, "node_shards": 2},
-        "dataset": {"base_path": str(tmp_path), "name": "synthetic_smoke",
-                    "metaname": "synthetic/unit_cube",
-                    "update_pt_files_with_edges": True,
-                    "pad_multiple": 96},  # not divisible by 2 x 64
-        "model": {"args": {"magno": {"edge_layout": "sectioned",
-                                     "slot_budget": 4,
-                                     "edge_chunk_size": 64}}},
-    })
+    def make(pad):
+        return merge_config(RunConfig(), {
+            "setup": {"distributed": True, "node_shards": 2,
+                      "data_parallel": 2},
+            "dataset": {"base_path": str(tmp_path), "name": "synthetic_smoke",
+                        "metaname": "synthetic/unit_cube",
+                        "update_pt_files_with_edges": True,
+                        "pad_multiple": pad},
+            "model": {"args": {"magno": {"edge_layout": "sectioned",
+                                         "slot_budget": 8,
+                                         "edge_chunk_size": 64}}},
+        })
+
     with pytest.raises(ValueError, match="pad_multiple"):
-        StaticTrainer3D(cfg)
+        StaticTrainer3D(make(97))  # 97 % 2 != 0
+    # 96 % (2*64) != 0 but 96 % 2 == 0: must NOT be rejected
+    t = StaticTrainer3D(make(96))
+    assert t is not None
 
 
 def test_neural_field_smoke(tmp_path, monkeypatch):

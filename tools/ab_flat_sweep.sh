@@ -43,7 +43,12 @@ run attn_bwd_split BENCH_DEGREE_SECTIONS=0 GAOT_ATTN_BWD_FUSED=0
 # encoder + slotted decoder should win eval) — wall-timed eval, 2 steps of
 # train just to reuse the program; inference_sps is the number to read
 echo "=== eval legs (inference_sps; higher is better) ==="
-for leg in "eval_slots " "eval_flat BENCH_EDGE_LAYOUT=flat" \
+# BENCH_DEGREE_SECTIONS=0 pins the slots leg to the UNIFORM layout: since
+# round 5 bench AUTO-enables sections on precomputed slots legs, and the
+# flat/mixed comparison legs cannot use sections — unpinned, this stops
+# being a single-variable layout comparison
+for leg in "eval_slots BENCH_DEGREE_SECTIONS=0" \
+           "eval_flat BENCH_EDGE_LAYOUT=flat" \
            "eval_mixed BENCH_EDGE_LAYOUT=flat,slots"; do
   name="${leg%% *}"; envs="${leg#* }"
   echo "=== $name ($(date +%H:%M:%S)) ==="
